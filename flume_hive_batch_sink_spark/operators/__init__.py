@@ -1,0 +1,9 @@
+"""Operator modules — importing this package registers all batch operators."""
+
+from flume_hive_batch_sink_spark.operators import (  # noqa: F401
+    aggregates,
+    ingest,
+    relational,
+    udfs,
+    windows,
+)

@@ -1,0 +1,45 @@
+"""Operator registry — the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 registers here via the ``@query``
+decorator; ``__spark_entry__.py`` re-exports ``QUERIES`` / ``ORACLES``
+verbatim. Keys with ``oracle=None`` get the driver's weaker rows-only
+check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the implementation of operator ``key``.
+
+    ``oracle`` is the DuckDB-dialect ANSI SQL producing the identical
+    result set (same column names — the driver's compare sorts columns by
+    name before hashing, __spark_entry__.py docstring).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise KeyError(f"duplicate operator key {key!r}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_operators() -> None:
+    """Import every module that registers operators (decorator side-effects)."""
+    from flume_hive_batch_sink_spark import functions  # noqa: F401
+    from flume_hive_batch_sink_spark import llm  # noqa: F401
+    from flume_hive_batch_sink_spark import operators  # noqa: F401
+    from flume_hive_batch_sink_spark import streaming  # noqa: F401
