@@ -1,1 +1,269 @@
+"""2.C — Aggregations.
 
+Every aggregate here compiles to HashAggregateExec with map-side partial
+aggregation (one shuffle on the group keys, partial state combined
+per-partition first) — the shape that survives a 100× scale-up. Float
+aggregates are rounded identically on both engine sides per the oracle
+rules (FIXTURES.md): partial-aggregation order differs between engines,
+so raw doubles are never compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "agg_group_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(avg(l_quantity), 4) AS avg_qty,
+           ROUND(min(l_extendedprice), 2) AS min_price,
+           ROUND(max(l_extendedprice), 2) AS max_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary) adapted to the fixture columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — planned as a two-phase expand+agg; for 100 TB
+    cardinality estimation use agg_approx_distinct instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ values differ from exact by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rsd 5%) — the scale path for
+    cardinality: single pass, fixed-size sketch, no expand."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, ROUND(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`); at 100 TB swap to `approx_percentile` sketches."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+_GSETS_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n, ROUND(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in one pass (Expand + single shuffle,
+    not one job per granularity)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gsets_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n, ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM _gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+           count(*) AS n_suppliers, ROUND(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id("r_name", "n_name").cast("long").alias("gid"),
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n, ROUND(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT s_nationkey, array_to_string(list_sort(list(s_name)), '|') AS names
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect group values as a sorted array (serialized for the hash
+    compare). Bounded groups only — collect_list is memory-unbounded."""
+    s = load(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("names")
+    )
+
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS dt,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → one count column per type. Pivot values are
+    declared explicitly — at scale an undeclared pivot needs an extra
+    distinct pass to discover them."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyyMMdd")
+    )
+    out = (
+        ev.groupBy("dt").pivot("event_type", list(_EVENT_TYPES)).agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, subset=list(_EVENT_TYPES))
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (value > 100) AS n_big,
+           ROUND(sum(value) FILTER (value > 100), 2) AS sum_big,
+           ROUND(avg(value) FILTER (value > 100), 4) AS avg_big
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = F.when(F.col("value") > 100, F.col("value"))
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(big).alias("n_big"),
+        F.round(F.sum(big), 2).alias("sum_big"),
+        F.round(F.avg(big), 4).alias("avg_big"),
+    )

@@ -1,1 +1,438 @@
+"""2.B projections/filters/joins + 2.E sorts/limits/set operations.
 
+All pure Catalyst surface — the engine's job here is to express each
+operator declaratively and let the optimizer pick the physical strategy
+(broadcast vs shuffle joins, TakeOrderedAndProject for top-k, partial
+aggregation for distincts). Scale notes are per-operator docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+# ---------------------------------------------------------------- projections
+
+
+@query(
+    "proj_select_alias",
+    oracle="""
+    SELECT c_custkey AS custkey, upper(c_name) AS name_uc,
+           ROUND(c_acctbal * 1.1, 4) AS boosted_bal, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def proj_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_uc"),
+        F.round(F.col("c_acctbal") * 1.1, 4).alias("boosted_bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE ((event_type IN ('view', 'click') AND value BETWEEN 10 AND 300)
+           OR (event_type = 'error' AND props LIKE '%7%'))
+      AND user_id IS NOT NULL
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """σ with AND/OR/NOT, BETWEEN, IN, LIKE, IS NULL — all pushed into the
+    parquet scan by Catalyst (verify with .explain: PushedFilters)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (
+            (F.col("event_type").isin("view", "click") & F.col("value").between(10, 300))
+            | ((F.col("event_type") == "error") & F.col("props").like("%7%"))
+        )
+        & F.col("user_id").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+
+@query(
+    "filter_null_safe",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'F')
+    """,
+)
+def filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>`) over derived nullable columns."""
+    o = load(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    b = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.filter(a.eqNullSafe(b)).select("o_orderkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------- joins
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks broadcast-hash (customer is small
+    relative to orders) or SMJ at scale — never specified by hand here."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+    RIGHT JOIN orders o ON c_custkey = o_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 7000) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join — left_semi never duplicates or widens the left side,
+    so it's strictly cheaper than join+distinct at scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, r_name, count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension tables: at 100 TB the fact side
+    never shuffles for a dim join — the dims ship to every executor."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT e.event_id, s.event_id AS signup_id
+    FROM events e
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id
+     AND e.event_id <> s.event_id
+     AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join. The equi part (user_id) keys the shuffle; the
+    range predicate is applied as a post-join filter, so this stays a hash
+    or sort-merge join — not a cartesian product — at any scale."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.alias("e")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    cond = (
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.event_id") != F.col("s.event_id"))
+        & (F.col("e.ts") >= F.col("s.ts"))
+        & (F.col("e.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return e.join(s, cond).select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("s.event_id").alias("signup_id"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian — only ever used dim×dim; both sides broadcastable."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH sign AS (
+      SELECT user_id, ts, event_id AS sid FROM events WHERE event_type = 'signup'
+    ), u AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS sid, 1 AS m FROM events
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, sid, 0 AS m FROM sign
+    ), lv AS (
+      SELECT event_id, m,
+             last_value(sid IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, m, sid NULLS LAST
+                     ROWS UNBOUNDED PRECEDING) AS signup_id
+      FROM u
+    )
+    SELECT event_id, signup_id FROM lv WHERE m = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ↔ latest signup of the same user at-or-before
+    its timestamp.
+
+    Spark has no native ASOF JOIN; the union+window formulation is the
+    scalable one — a single shuffle on user_id and a running `last(…,
+    ignorenulls)`, versus the O(n·m) range-join + row_number alternative.
+    Signup rows sort before event rows at equal ts (m 0<1); ties among
+    simultaneous signups resolve to the highest event_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("sid"),
+        F.lit(1).alias("m"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("sid"),
+            F.lit(0).alias("m"),
+        )
+    )
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("m"), F.col("sid").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("signup_id", F.last("sid", ignorenulls=True).over(w))
+        .filter(F.col("m") == 1)
+        .select("event_id", "signup_id")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: one fact, chained broadcast dims — zero fact shuffles
+    until the final aggregation."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------- sorts, limits, sets
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey,
+           CAST(row_number() OVER (
+             ORDER BY (CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                            ELSE c_acctbal END) DESC NULLS LAST,
+                      c_custkey ASC) AS BIGINT) AS rank_pos
+    FROM customer
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement. The driver's hash is
+    order-insensitive, so the sort order is materialized as a row_number
+    column (FIXTURES.md oracle rules). Global sort = range-partitioned
+    TakeOrdered at scale; here it feeds a single window."""
+    c = load(spark, sf_dir, "customer")
+    nullable_key = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    w = Window.orderBy(nullable_key.desc_nulls_last(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", F.row_number().over(w).cast("long").alias("rank_pos")
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE value > 400
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle at all, just concatenated partitions."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id", "event_type")
+    b = ev.filter(F.col("value") > 400).select("event_id", "event_type")
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)
