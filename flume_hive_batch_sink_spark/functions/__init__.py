@@ -1,1 +1,3 @@
 """Scalar function families (2.F)."""
+
+from flume_hive_batch_sink_spark.functions import scalar  # noqa: F401

@@ -1,0 +1,302 @@
+"""2.F — Scalar function families.
+
+One registered query per family, each exercising several functions with
+column aliases mirrored in the oracle SQL. Everything here is JVM-side
+whole-stage-codegen expression work — zero UDFs, zero shuffles beyond
+the scan itself.
+
+Cross-engine gotchas handled: Spark `substring`/DuckDB `substr` are both
+1-based; Spark `ceil/floor` return BIGINT while DuckDB returns DOUBLE
+(cast both); DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+replace-all default; Spark `round` is HALF_UP vs DuckDB HALF_EVEN (inputs
+chosen away from exact .5 ties at the rounded digit — doubles from
+arithmetic essentially never land exactly on a decimal midpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_uc,
+           lower(p_brand) AS brand_lc,
+           trim(p_type) AS type_trim,
+           substr(p_name, 1, 8) AS name_pfx,
+           replace(p_name, ' ', '_') AS name_us,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad,
+           CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+           regexp_replace(p_name, '[aeiou]', '#', 'g') AS name_mask,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_pad"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.regexp_replace("p_name", "[aeiou]", "#").alias("name_mask"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(day(l_shipdate) AS INT) AS ship_day,
+           CAST(dayofweek(l_shipdate) AS INT) AS ship_dow,
+           date_trunc('month', l_shipdate) AS ship_month_start,
+           CAST(CAST(l_shipdate AS DATE) + 90 AS VARCHAR) AS due_date,
+           CAST(date_diff('day', CAST('2000-01-01' AS DATE),
+                          CAST(l_shipdate AS DATE)) AS INT) AS days_since_y2k,
+           CAST(last_day(CAST(l_shipdate AS DATE)) AS VARCHAR) AS month_end
+    FROM lineitem
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 — aligned by
+    subtracting 1 on the Spark side."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month_start"),
+        # DATE outputs travel as ISO strings: pandas bridges render a bare
+        # DATE as midnight-timestamp on one engine and datetime.date on the
+        # other, which would sabotage the value hash.
+        F.date_add(F.col("l_shipdate").cast("date"), 90)
+        .cast("string")
+        .alias("due_date"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("2000-01-01").cast("date"))
+        .alias("days_since_y2k"),
+        F.last_day(F.col("l_shipdate").cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           l_partkey % 7 AS pk_mod,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, tax, qty = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_quantity"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round to 6, not 2: the exact decimal product has ≤6 fractional
+        # digits, so 6-digit rounding never sits on a tie — 2-digit
+        # rounding diverges on .xx5 (Spark HALF_UP vs DuckDB HALF_EVEN).
+        F.round(price * (1 - disc) * (1 + tax), 6).alias("charge"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        F.ceil(qty).alias("qty_ceil"),
+        F.floor(qty).alias("qty_floor"),
+        F.round(F.pow(qty, 2), 4).alias("qty_sq"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+        F.signum(disc - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 400 THEN 'high' WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS tier,
+           coalesce(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           ROUND(greatest(value, 50.0), 2) AS val_floor50,
+           ROUND(least(value, 450.0), 2) AS val_cap450,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS uid_parity
+    FROM events
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.when(v >= 400, "high").when(v >= 100, "mid").otherwise("low").alias("tier"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("n/a")).alias(
+            "type_or_na"
+        ),
+        F.round(F.greatest(v, F.lit(50.0)), 2).alias("val_floor50"),
+        F.round(F.least(v, F.lit(450.0)), 2).alias("val_cap450"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("uid_parity"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(trunc(value) AS INT) AS value_int,  -- duckdb CAST rounds; spark truncates
+           CAST(value AS VARCHAR) AS value_str,
+           CAST(event_id AS DOUBLE) AS id_dbl,
+           TRY_CAST(event_type AS INT) AS type_as_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+    FROM events
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts under ANSI mode: TRY_CAST for anything that can fail.
+    Spark CAST(double AS INT) truncates toward zero; DuckDB rounds —
+    the oracle wraps with trunc() to match."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("int").alias("value_int"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("event_id").cast("double").alias("id_dbl"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_distinct_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+             AS vocab,
+           CAST(list_contains(string_split(text, ' '), 'data') AS BOOLEAN) AS has_data
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})['type'][1]
+             AS type_from_map,
+           array_to_string(map_keys(
+             MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',')
+             AS key_list,
+           CAST(cardinality(MAP {'type': event_type,
+                                 'uid': CAST(user_id AS VARCHAR)}) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map build/keys/lookup. DuckDB map extraction returns a LIST — the
+    oracle indexes `[1]` to unwrap (SURVEY.md §2 drift note)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("type").alias("type_from_map"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           json_extract_string(props, '$.missing') AS absent
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_val"),
+        (k.cast("bigint") % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(lower(trim(text))) AS content_key
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing hashes — the building block for exact dedup
+    (llm_exact_dedup). xxhash64 exists Spark-side for cheap shuffles but
+    has no DuckDB twin, so the oracle covers md5/sha256."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.lower(F.trim("text"))).alias("content_key"),
+    )

@@ -1,1 +1,233 @@
+"""2.D — Window functions.
 
+WindowExec sorts within partitions after one shuffle on the partition
+keys; no window here uses an unpartitioned frame over big data except
+sort_multi-style ranks where the result is itself small. Running/sliding
+frames keep O(frame) state per row. All orderings carry a unique
+tiebreaker so the order-insensitive hash compare is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_custkey,
+           CAST(rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank depend only on the order key values, so ties need
+    no tiebreaker for a deterministic result set."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           ROUND(lag(value, 1) OVER w, 2) AS prev_value,
+           ROUND(lead(value, 1) OVER w, 2) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing. Global order — fine for dimension-sized
+    inputs; bucket a fact table with percent_rank over partitions
+    instead."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+@query(
+    "win_sliding_frame",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM events
+    """,
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric key: count of orders within $1000 below.
+    Depends only on values — deterministic without a tiebreaker."""
+    o = load(spark, sf_dir, "orders")
+    # Window.rangeBetween only takes integral offsets from Python; a
+    # fractional RANGE frame over a double key needs the SQL form.
+    return o.selectExpr(
+        "o_orderkey",
+        "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar",
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id,
+           ROUND(first_value(value) OVER w, 2) AS first_val,
+           ROUND(last_value(value) OVER w, 2) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame (the default frame
+    would make last_value = current row — classic pitfall)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+        F.round(F.last("value").over(w), 2).alias("last_val"),
+    )
+
+
+@query(
+    "win_cume_percent",
+    oracle="""
+    SELECT event_id,
+           ROUND(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS cd,
+           ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS pr
+    FROM events
+    """,
+)
+def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. The rn<=3 filter is pushed into the
+    window sort (WindowGroupLimit) so each partition keeps only k rows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
