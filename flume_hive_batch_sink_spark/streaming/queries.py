@@ -1,0 +1,152 @@
+"""2.G — true Structured Streaming operators, run to completion per call.
+
+Each registered callable starts a real streaming query (file-source
+replay of the events fixture), runs it with trigger(availableNow), and
+returns the materialized result so the driver can hash-compare it like
+any batch query. Keys whose results are batching-invariant (dedup,
+aggregation, stream-stream join, the hive sink) carry full SQL oracles;
+watermark/late-data behavior depends on micro-batch boundaries and gets
+the rows-only check plus assertions in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.registry import query
+from flume_hive_batch_sink_spark.streaming import harness, sink
+
+
+def _qname(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "stream_agg_update",
+    oracle="""
+    SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming aggregation, complete output mode: the final
+    state must equal the batch aggregate regardless of batching."""
+    s = harness.events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return harness.run_to_memory(agg, _qname("agg_update"), "complete", spark)
+
+
+@query(
+    "stream_dedup_wm",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within watermark: the stream is self-unioned (every
+    event delivered twice — Flume at-least-once redelivery) and
+    `dropDuplicatesWithinWatermark` restores effectively-once."""
+    s = harness.events_stream(spark, sf_dir)
+    doubled = s.union(s)
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = harness.run_to_memory(deduped, _qname("dedup_wm"), "append", spark)
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query("stream_watermark")  # rows-only: emission depends on batch boundaries
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics: the oldest quarter of events is replayed LAST,
+    after newer chunks advanced the watermark past it, so its windows are
+    dropped from append-mode output. Deterministic given the pinned file
+    order (tests assert the dropped-window counts)."""
+    s = harness.replay_chunks(spark, sf_dir, n_chunks=4, late_chunk=True)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return harness.run_to_memory(agg, _qname("watermark"), "append", spark)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition and
+    watermarks on both sides — purchases within 2h after a signup. Inner
+    join results are batching-invariant, so the batch range join is an
+    exact oracle."""
+    purchases = (
+        harness.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    signups = (
+        harness.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .alias("s")
+    )
+    joined = purchases.join(
+        signups,
+        F.expr(
+            "p.user_id = s.user_id AND p.ts >= s.ts "
+            "AND p.ts <= s.ts + INTERVAL 2 HOUR"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.event_id").alias("signup_id"),
+    )
+    return harness.run_to_memory(joined, _qname("ss_join"), "append", spark)
+
+
+@query(
+    "stream_foreachbatch_hive",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS dt, CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_foreachbatch_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference replacement (BASELINE.json:7): stream → foreachBatch
+    → Hive-partitioned table with idempotent epoch writes + done markers.
+    The re-read table's per-partition counts must equal the source."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_hive_"), "events_tbl")
+    s = harness.events_stream(spark, sf_dir)
+    q = sink.start_hive_sink(s, out_dir)
+    q.awaitTermination()
+    sink.finalize_partitions(spark, out_dir)
+    table = sink.read_sink_table(spark, out_dir)
+    return table.groupBy(
+        F.col("dt").cast("string").alias("dt"), "hr"
+    ).agg(F.count("*").alias("n_rows"))
+
+
+@query("stream_rate_source_smoke")  # rows-only: harness infrastructure
+def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic local stream source smoke: chunked file replay in ts
+    order, all rows accounted for (row count == table size)."""
+    s = harness.replay_chunks(spark, sf_dir, n_chunks=3, late_chunk=False)
+    out = harness.run_to_memory(
+        s.select("event_id", "event_type"), _qname("replay_smoke"), "append", spark
+    )
+    return out

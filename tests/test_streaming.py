@@ -1,0 +1,59 @@
+"""Behavioral checks for the pure-streaming semantics the batch oracle
+can't hash-verify: late-data dropping under watermark, and idempotent
+epoch writes in the hive sink (the at-least-once → exactly-once story)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.streaming import harness, sink
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+
+
+def test_watermark_drops_late_windows(spark):
+    """Replaying the oldest chunk last (after the watermark advanced past
+    it) must suppress its windows from append-mode output."""
+    from flume_hive_batch_sink_spark.streaming.queries import stream_watermark
+
+    emitted = stream_watermark(spark, SF_DIR)
+    n_emitted = emitted.count()
+    n_total_windows = (
+        load(spark, SF_DIR, "events")
+        .select(F.date_trunc("hour", "ts").alias("w"))
+        .distinct()
+        .count()
+    )
+    assert 0 < n_emitted < n_total_windows, (
+        f"expected late windows dropped: emitted {n_emitted} of "
+        f"{n_total_windows} hourly windows"
+    )
+
+
+def test_hive_sink_epoch_write_idempotent(spark):
+    """Re-running an epoch (Flume rollback→redeliver analogue) must not
+    duplicate rows: dynamic overwrite keyed by epoch id."""
+    ev = load(spark, SF_DIR, "events").limit(500)
+    out = os.path.join(tempfile.mkdtemp(prefix="idem_"), "tbl")
+    sink.write_epoch(ev, 0, out)
+    first = sink.read_sink_table(spark, out).count()
+    sink.write_epoch(ev, 0, out)  # redelivery of the same epoch
+    second = sink.read_sink_table(spark, out).count()
+    assert first == second == 500
+
+
+def test_hive_sink_end_to_end_matches_batch(spark):
+    """Streaming sink table state == direct batch partitioned write."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_e2e_"), "tbl")
+    s = harness.events_stream(spark, SF_DIR)
+    q = sink.start_hive_sink(s, out)
+    q.awaitTermination()
+    markers = sink.finalize_partitions(spark, out)
+    assert markers, "expected _DONE markers after finalize"
+    streamed = sink.read_sink_table(spark, out).count()
+    direct = load(spark, SF_DIR, "events").count()
+    assert streamed == direct
