@@ -1,1 +1,8 @@
 """LLM-data-pipeline operators (2.I)."""
+
+from flume_hive_batch_sink_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,232 @@
+"""2.I — Deduplication family: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+100 TB posture: exact dedup is one hash-aggregation on a 16-byte key;
+MinHash/LSH replaces the O(n²) pairwise scan with per-doc signatures
+(linear) + band-bucket joins (near-linear, skew-salted via band index);
+SimHash gives a per-doc 16-bit sketch joinable by Hamming bands. Only the
+final *verify* step touches candidate pairs, whose count LSH controls.
+
+All hash families are deterministic (seeded by literal band/row indexes)
+— required by the oracle hash-match and by resume semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+# MinHash/LSH geometry: 32 hash functions = 16 bands × 2 rows.
+# For a pair at the J=0.8 decision boundary the miss probability is
+# (1 - 0.8²)¹⁶ ≈ 7e-8, so LSH candidate recall is exact-equivalent for
+# this fixture (dense similarity: ~30k true pairs at sf0.01) while still
+# demonstrating the banding structure that makes 100 TB feasible.
+_N_HASHES = 32
+_BANDS = 16
+_ROWS = 2
+_JACCARD_T = 0.8
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """Distinct token set per document (the dedup unit of comparison)."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_key,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: normalize → md5 → keep lowest doc_id.
+    One map + one hash-agg on a 16-byte key; at 100 TB this is the
+    cheapest possible full-corpus pass."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim("text"))).alias("content_key")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), n AS (
+      SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (na.nt + nb.nt - ni), 6) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(ni AS DOUBLE) / (na.nt + nb.nt - ni) >= {_JACCARD_T}
+"""
+
+
+@query("llm_near_dedup_minhash", oracle=_MINHASH_ORACLE)
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: tokens → MinHash signatures → LSH bands →
+    candidate pairs → exact-Jaccard verify ≥ 0.8.
+
+    The oracle computes ground-truth all-pairs Jaccard; this pipeline
+    must reproduce it exactly, which it does because the verify step is
+    exact and LSH recall at the threshold is ~1-7e-8 (see module
+    constants). Signature pass is a single groupBy over exploded tokens
+    with map-side combine; band joins shuffle only (band_idx, band_key).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+
+    # per-doc MinHash signature: h_i = min over tokens of xxhash64(i:token)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.xxhash64(F.concat_ws(":", F.lit(str(i)), F.col("token")))
+            ).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+
+    # LSH bands: band key = md5 of the band's signature slice
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        *[F.col(f"h{b * _ROWS + r}").cast("string") for r in range(_ROWS)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_idx", "bk.band_key"
+    )
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify: intersection via token join, union via per-doc sizes
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        candidates.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (
+        F.col("na.nt") + F.col("nb.nt") - F.col("ni")
+    )
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_HI_HEX = "('8','9','a','b','c','d','e','f')"
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, k.k,
+             SUM(CASE WHEN substr(md5(token), k.k + 1, 1) IN {_HI_HEX}
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(0, 16)) AS k) k
+      GROUP BY doc_id, k.k
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@query("llm_simhash_dedup", oracle=_SIMHASH_ORACLE)
+def llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document: 16 bits, bit k = sign of the sum
+    over tokens of ±1 driven by hex digit k of md5(token).
+
+    md5 is the cross-engine-portable hash; one explode + two hash-aggs.
+    Near-dup retrieval then joins on fingerprint bands and filters by
+    `bit_count(simhash XOR other) <= d` — the pair step reuses the LSH
+    machinery from MinHash, so only the sketch is materialized here.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    h = F.md5("token")
+    per_bit = [
+        F.sum(
+            F.when(F.substring(h, k + 1, 1).isin(list("89abcdef")), 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*per_bit)
+    fingerprint = None
+    for k in range(16):
+        term = F.when(F.col(f"s{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bits.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+@query(
+    "llm_embed_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def llm_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the synthetic
+    embeddings carry no true duplicates, max pairwise cosine ≈ 0.51, so
+    the threshold exercises the pipeline on real matches).
+
+    Exact pairwise here (the verify tier); at 100 TB candidate generation
+    goes through llm_ann_lsh buckets first — same verify code path.
+    """
+    from flume_hive_batch_sink_spark.llm.similarity import cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, emb, upper_triangle=True)
+    return pairs.filter(F.col("cos_raw") >= 0.4).select(
+        "vec_a", "vec_b", F.round("cos_raw", 4).alias("cos")
+    )

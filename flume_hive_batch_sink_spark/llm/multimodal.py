@@ -1,0 +1,157 @@
+"""2.I — Multimodal columns: binary payloads + typed metadata + embeddings.
+
+The schema pattern for image/audio/video at 100 TB: an opaque
+``BinaryType`` payload column, a ``StructType`` of typed metadata (mime,
+dimensions), and an ``ArrayType(FloatType)`` embedding — processed with
+``mapInPandas`` so each Arrow batch is decoded/transformed in bulk.
+
+No media codecs exist in this container, so the decode kernels are
+STUBS: ``decode_image``/``resample_audio``/``sample_frames`` raise
+NotImplementedError by design, and ``fake_feature_extract`` is the
+deterministic stand-in that keeps the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) real and tested.
+
+No binary fixture ships in testdata (FIXTURES.md), so the payload is
+derived deterministically from vec_id — which is exactly what makes a
+full SQL oracle possible for the schema/plumbing query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table: binary payload (md5-derived,
+    1-4 blocks of 16 bytes), struct metadata, and the real embedding."""
+    emb = load(spark, sf_dir, "embeddings")
+    payload = F.unhex(
+        F.expr("repeat(md5(CAST(vec_id AS STRING)), CAST(1 + vec_id % 4 AS INT))")
+    )
+    meta = F.struct(
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MIMES]),
+            (F.col("vec_id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        (64 + F.col("vec_id") % 512).cast("int").alias("width"),
+        (64 + (F.col("vec_id") * 7) % 512).cast("int").alias("height"),
+    )
+    return emb.select(
+        "vec_id",
+        payload.alias("payload"),
+        meta.alias("meta"),
+        "embedding",
+        "label",
+    )
+
+
+@query(
+    "multimodal_schema",
+    oracle="""
+    SELECT vec_id,
+           CAST(16 * (1 + vec_id % 4) AS INT) AS payload_bytes,
+           CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+           CAST(64 + vec_id % 512 AS INT) AS width,
+           CAST(64 + (vec_id * 7) % 512 AS INT) AS height,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+)
+def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load/validate/project the multimodal schema: binary length, struct
+    field access, embedding dimensionality — the column plumbing a media
+    pipeline depends on, hash-checked end to end."""
+    t = multimodal_table(spark, sf_dir)
+    return t.select(
+        "vec_id",
+        F.length("payload").cast("int").alias("payload_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ----------------------------------------------------------- decode kernels
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode requires an image codec (PIL/opencv) — not in this
+    container. Cite: SURVEY.md §2.I multimodal_schema (stub mandated)."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def resample_audio(payload: bytes, rate: int = 16_000) -> "object":
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> "object":
+    raise NotImplementedError("video codec not available in this environment")
+
+
+def fake_feature_extract(payload: bytes, width: int, height: int) -> list[float]:
+    """Deterministic codec stand-in: 4 features from the payload bytes and
+    declared dimensions. Replaces decode_image→resize→embed in tests."""
+    head = payload[:8]
+    return [
+        float(sum(head) % 251),
+        float(len(payload)),
+        float(width) / float(height),
+        float(head[0] if head else 0),
+    ]
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in → feature rows out. The real
+    decoder drops in by swapping fake_feature_extract for a codec call;
+    the schema/batching contract stays identical."""
+    for pdf in batches:
+        feats = [
+            fake_feature_extract(p, w, h)
+            for p, w, h in zip(
+                pdf["payload"], pdf["meta"].map(lambda m: m["width"]),
+                pdf["meta"].map(lambda m: m["height"]),
+            )
+        ]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "f0": [f[0] for f in feats],
+                "f1": [f[1] for f in feats],
+                "aspect": [f[2] for f in feats],
+                "f3": [f[3] for f in feats],
+            }
+        )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT vec_id,
+           ROUND(CAST(64 + vec_id % 512 AS DOUBLE)
+                 / CAST(64 + (vec_id * 7) % 512 AS DOUBLE), 6) AS aspect,
+           CAST(16 * (1 + vec_id % 4) AS DOUBLE) AS f1
+    FROM embeddings
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the mapInPandas plumbing with the
+    deterministic stand-in codec; the oracle checks the Arrow round-trip
+    on the analytically predictable features (aspect ratio, byte count)."""
+    t = multimodal_table(spark, sf_dir)
+    out = t.mapInPandas(
+        extract_features,
+        "vec_id BIGINT, f0 DOUBLE, f1 DOUBLE, aspect DOUBLE, f3 DOUBLE",
+    )
+    return out.select("vec_id", F.round("aspect", 6).alias("aspect"), "f1")

@@ -1,0 +1,193 @@
+"""2.I — Similarity search over embedding columns.
+
+Cosine math stays JVM-side as codegen'd array expressions
+(`zip_with` + `aggregate` over DOUBLE), never a Python UDF. Exact
+pairwise (`cosine_pairs`) is the correctness baseline and the verify
+tier; random-hyperplane LSH (`llm_ann_lsh`) is the 100 TB candidate
+path: per-vector signatures are linear, and only bucket-mates meet the
+exact kernel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+def _as_double(col: str | F.Column) -> F.Column:
+    """array<float> → array<double> so the dot product accumulates in
+    double (matches the oracle's CAST(… AS DOUBLE[]))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_pairs(
+    left: DataFrame, right: DataFrame, upper_triangle: bool = False
+) -> DataFrame:
+    """All-pairs cosine similarity as (vec_a, vec_b, cos_raw).
+
+    Norms are precomputed per side (linear) so the pairwise kernel is a
+    single dot product. upper_triangle keeps vec_a < vec_b.
+    """
+    a = left.select(
+        F.col("vec_id").alias("vec_a"),
+        _as_double("embedding").alias("ea"),
+    ).withColumn("na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    b = right.select(
+        F.col("vec_id").alias("vec_b"),
+        _as_double("embedding").alias("eb"),
+    ).withColumn("nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cond = F.col("vec_a") < F.col("vec_b") if upper_triangle else (
+        F.col("vec_a") != F.col("vec_b")
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("cos_raw", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .select("vec_a", "vec_b", "cos_raw")
+    )
+
+
+@query(
+    "llm_sim_topk_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 100
+    """,
+)
+def llm_sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most-similar embedding pairs, brute-force baseline.
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps); ties
+    broken on (vec_a, vec_b) for a deterministic boundary."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, emb, upper_triangle=True)
+    return (
+        pairs.orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
+        .limit(100)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@query(
+    "llm_knn_label",
+    oracle="""
+    WITH sims AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid, n.label,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+    ), topk AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM sims) WHERE rn <= 5
+    ), votes AS (
+      SELECT qid, label, count(*) AS c FROM topk GROUP BY qid, label
+    )
+    SELECT qid AS vec_id, CAST(label AS INT) AS pred_label FROM (
+      SELECT qid, label,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
+      FROM votes) WHERE rn = 1
+    """,
+)
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label vote per vector. The mode is computed
+    explicitly (count desc, label asc) — builtin mode() tie-breaks
+    differ across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("vec_b"), "label")
+    sims = cosine_pairs(emb, emb, upper_triangle=False).join(labels, "vec_b")
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_raw").desc(), F.col("vec_b"))
+    topk = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = topk.groupBy("vec_a", "label").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("vec_a").orderBy(F.col("c").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_a").alias("vec_id"), F.col("label").alias("pred_label"))
+    )
+
+
+_N_PLANES = 16
+_DIM = 64
+
+
+def _plane_sign(k: int, j: int) -> float:
+    """Deterministic ±1 from md5 — reproducible in SQL as
+    substr(md5(k||':'||j),1,1) in ('8'..'f')."""
+    return 1.0 if hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0] in "89abcdef" else -1.0
+
+
+_ANN_ORACLE = f"""
+    WITH s AS (
+      SELECT k.k, j.j,
+             CASE WHEN substr(md5(k.k || ':' || j.j), 1, 1)
+                  IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM (SELECT unnest(range(0, {_N_PLANES})) AS k) k,
+           (SELECT unnest(range(1, {_DIM} + 1)) AS j) j
+    ), dots AS (
+      SELECT e.vec_id, s.k,
+             SUM(s.sgn * CAST(e.embedding[s.j] AS DOUBLE)) AS dot
+      FROM embeddings e, s
+      GROUP BY e.vec_id, s.k
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+             AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+
+@query("llm_ann_lsh", oracle=_ANN_ORACLE)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures: 16 seeded ±1 hyperplanes, bucket
+    = sign-bit vector of the projections.
+
+    This is the ANN candidate generator for 100 TB similarity search:
+    signatures are one broadcast-join + aggregation (linear in rows ×
+    planes), then neighbor search joins bucket-mates only (llm_embed_dup
+    / llm_sim_topk_pairs provide the exact kernel). Recall/quality is
+    asserted in tests/test_llm.py; the oracle checks the signature math
+    exactly.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [
+        (k, j, _plane_sign(k, j + 1))
+        for k in range(_N_PLANES)
+        for j in range(_DIM)
+    ]
+    plane_df = emb.sparkSession.createDataFrame(
+        planes, "k INT, j INT, sgn DOUBLE"
+    )
+    comps = emb.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("j", "x")
+    )
+    dots = (
+        comps.join(F.broadcast(plane_df), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("sgn") * F.col("x")).alias("dot"))
+    )
+    bucket = F.sum(
+        F.when(F.col("dot") >= 0, F.expr("shiftleft(1, k)")).otherwise(0)
+    )
+    return dots.groupBy("vec_id").agg(bucket.cast("long").alias("bucket"))

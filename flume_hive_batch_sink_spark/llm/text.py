@@ -1,0 +1,341 @@
+"""2.I — Text analysis for training-data pipelines.
+
+Language ID, quality scoring, token counting, TF-IDF, bigrams,
+fingerprinting, and the C4-style corpus-cleaning composite. Everything is
+codegen'd expression work over one explode of the token array — no
+Python in the hot path; per-token state never leaves the executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           ROUND(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
+             AS word_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex, and a
+    BPE-ish segmentation (letter runs / digit runs / single symbols) —
+    the cheap pre-tokenizer estimate used for corpus budgeting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+")).cast("int").alias("word_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# Deterministic n-gram-style heuristic: stopword hit-rates per language.
+# The fixture's text is synthetic ASCII word-soup for every lang label, so
+# charset detection is vacuous; the *structure* (per-language marker sets,
+# argmax with a deterministic tiebreak) is the real operator.
+_MARKERS = {
+    "en": ("the", "a", "data"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("zh", "chinese", "han"),
+}
+
+
+def _marker_hits(lang: str) -> F.Column:
+    toks = F.split("text", " ")
+    hit = None
+    for m in _MARKERS[lang]:
+        h = F.array_contains(toks, m).cast("int")
+        hit = h if hit is None else hit + h
+    return hit
+
+
+def _marker_hits_sql(lang: str) -> str:
+    return " + ".join(
+        f"CAST(list_contains(string_split(text,' '), '{m}') AS INT)"
+        for m in _MARKERS[lang]
+    )
+
+
+_LANG_ID_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_marker_hits_sql('en')} AS s_en,
+             {_marker_hits_sql('es')} AS s_es,
+             {_marker_hits_sql('de')} AS s_de,
+             {_marker_hits_sql('fr')} AS s_fr,
+             {_marker_hits_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                     AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           CAST((CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                     AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END) = lang AS BOOLEAN) AS agrees
+    FROM scored
+"""
+
+
+@query("llm_lang_id", oracle=_LANG_ID_ORACLE)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a fixed-priority argmax."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _marker_hits("en").alias("s_en"),
+        _marker_hits("es").alias("s_es"),
+        _marker_hits("de").alias("s_de"),
+        _marker_hits("fr").alias("s_fr"),
+        _marker_hits("zh").alias("s_zh"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_zh")),
+            "es",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")), "de")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','and','data'], t)))
+                   AS DOUBLE) / len(string_split(text, ' ')), 6)
+             AS stopword_ratio,
+           CAST(n_chars BETWEEN 50 AND 5000 AS BOOLEAN) AS length_ok
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation density, stopword ratio —
+    the standard cheap filters before expensive dedup/training steps."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_lit = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "data"]])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t))).cast(
+                "double"
+            )
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+        F.col("n_chars").between(50, 5000).alias("length_ok"),
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tfc AS (
+      SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT tfc.doc_id, tfc.token,
+             tfc.tf, df.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tfc.token) AS rn
+      FROM tfc JOIN df USING (token) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. tf and df are two hash-aggs over
+    one explode; idf joins back via broadcast (df table is vocabulary-
+    sized, tiny next to the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tfc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("token"))
+    return (
+        tfc.join(F.broadcast(df), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.round(tfidf, 6).alias("tfidf"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@query(
+    "llm_ngram_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    j -> t[j] || ' ' || t[j + 1])) AS bigram
+      FROM toks
+    ), counted AS (
+      SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+    )
+    SELECT bigram, n, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigrams. Bigrams are built by array slicing inside
+    the row (no positional self-join), then one explode + hash-agg."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "j -> concat_ws(' ', split(text, ' ')[j - 1], split(text, ' ')[j]))"
+    )
+    counted = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(t) - 1),
+                    j -> md5(t[j] || ' ' || t[j + 1] || ' ' || t[j + 2])))
+             AS fingerprint
+    FROM toks
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over 3-token shingles
+    (winnowing with one global window). Pure array expressions — the
+    shingle set never materializes as rows."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "array_min(transform(sequence(1, size(split(text,' ')) - 2), "
+        "j -> md5(concat_ws(' ', split(text,' ')[j-1], split(text,' ')[j], "
+        "split(text,' ')[j+1]))))"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "llm_lang_filter_pipeline",
+    oracle="""
+    WITH filtered AS (
+      SELECT * FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 100 AND 2000
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS h,
+             min(source) AS source, min(n_chars) AS n_chars
+      FROM filtered GROUP BY md5(lower(trim(text)))
+    )
+    SELECT source, count(*) AS n_docs, ROUND(avg(n_chars), 4) AS avg_chars
+    FROM dedup GROUP BY source
+    """,
+)
+def llm_lang_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning composite: language filter → length
+    filter → exact dedup (keep lowest doc_id) → per-source stats.
+    Filters push into the scan; dedup is one hash-agg."""
+    d = load(spark, sf_dir, "documents")
+    filtered = d.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 2000)
+    )
+    dedup = filtered.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    return dedup.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
