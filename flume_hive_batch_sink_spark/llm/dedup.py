@@ -157,6 +157,76 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_T = 0.6
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+    ), n AS (
+      SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni), 6) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(ni AS DOUBLE) / (na.ns + nb.ns - ni) >= {_BIGRAM_T}
+"""
+
+
+@query("llm_jaccard_dedup", oracle=_JACCARD_ORACLE)
+def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: word-bigram shingles, pairwise
+    Jaccard ≥ 0.6 via a shingle-equality join.
+
+    Bigram shingles capture local word order that the token-set Jaccard
+    of `llm_near_dedup_minhash` ignores. The pair generation here is the
+    exact shingle join (correctness tier); at 100 TB the identical
+    shingle→signature path feeds MinHash banding instead — shingling is
+    the only code that changes between the two, by design.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # element_at is 1-based like the oracle's DuckDB list indexing
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(bigrams).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (F.col("na.ns") + F.col("nb.ns") - F.col("ni"))
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _BIGRAM_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 _HI_HEX = "('8','9','a','b','c','d','e','f')"
 
 _SIMHASH_ORACLE = f"""

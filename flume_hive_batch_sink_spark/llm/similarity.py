@@ -283,3 +283,89 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dot") >= 0, F.expr("shiftleft(1, k)")).otherwise(0)
     )
     return dots.groupBy("vec_id").agg(bucket.cast("long").alias("bucket"))
+
+
+_IVF_STRIDE = 100  # centroid list: every 100th vec_id (deterministic)
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % {_IVF_STRIDE} = 0
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+    )
+    SELECT vec_id, nn_id, cos FROM (
+      SELECT ea.vec_id, eb.vec_id AS nn_id,
+             ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 4)
+               AS cos,
+             row_number() OVER (
+               PARTITION BY ea.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(ea.embedding AS DOUBLE[]),
+                 CAST(eb.embedding AS DOUBLE[])) DESC, eb.vec_id) AS rn
+      FROM embeddings ea
+      JOIN assign aa ON aa.vec_id = ea.vec_id
+      JOIN assign ab ON ab.cid = aa.cid AND ab.vec_id <> ea.vec_id
+      JOIN embeddings eb ON eb.vec_id = ab.vec_id
+    ) WHERE rn = 1
+"""
+
+
+@query("llm_ann_ivf", oracle=_IVF_ORACLE)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: coarse-quantize every
+    vector to its nearest centroid (cosine), then search top-1 within the
+    probed cluster only (nprobe=1).
+
+    Centroids here are the deterministic stride-100 subset of the
+    vectors themselves (oracle-reproducible); a production deployment
+    swaps in k-means centroids — the dataflow is identical. The 100 TB
+    shape: the centroid list is tiny and broadcast (assignment is one
+    linear pass, no shuffle); candidate generation shuffles on the
+    cluster id, so each inverted list joins locally — O(n·k_cent) +
+    Σ|cluster|² instead of O(n²), with nprobe tuning recall.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
+        "n", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    cent = e.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("n").alias("cn"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c", dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "n", "cid")
+    )
+    a = assign.select(
+        "vec_id", F.col("e").alias("ea"), F.col("n").alias("na"), "cid"
+    )
+    b = assign.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+        "cid",
+    )
+    pairs = a.join(b, "cid").filter(F.col("vec_id") != F.col("nn_id"))
+    cos_raw = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    wn = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("cos_raw", cos_raw)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", F.round("cos_raw", 4).alias("cos"))
+    )
