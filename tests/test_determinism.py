@@ -1,0 +1,47 @@
+"""Determinism gate (SURVEY.md §5.2.5): run the seed- or order-sensitive
+operators twice and require identical canonical results.
+
+The DuckDB oracle pins values once; this gate catches the class of bug
+the oracle can miss on a lucky run — unseeded randomness, partition-order
+dependence (collect_list without sort), tie-breaks left to the planner —
+before the driver's double execution does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flume_hive_batch_sink_spark import registry
+from flume_hive_batch_sink_spark.registry import load_all_operators
+
+load_all_operators()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+
+# the keys where nondeterminism could plausibly hide: hash families,
+# pandas kernels, window tie-breaks, approximate sketches, collects
+RISKY = [
+    "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_near_dedup_minhash",
+    "llm_sim_topk_pairs",
+    "llm_knn_label",
+    "agg_approx_distinct",
+    "agg_collect",
+    "udf_grouped_map",
+    "topk_per_group",
+    "limit_topk",
+]
+
+
+def canonical(df) -> list[tuple]:
+    rows = [tuple(r) for r in df.collect()]
+    return sorted(rows, key=repr)
+
+
+@pytest.mark.parametrize("key", RISKY)
+def test_double_run_identical(spark, key):
+    fn = registry.QUERIES[key]
+    assert canonical(fn(spark, SF_DIR)) == canonical(fn(spark, SF_DIR))
