@@ -1,1 +1,3 @@
-"""Plan inspection helpers."""
+"""Composite logical plans and plan-inspection helpers."""
+
+from flume_hive_batch_sink_spark.plans import analytics  # noqa: F401

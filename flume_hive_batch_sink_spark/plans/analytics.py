@@ -1,0 +1,241 @@
+"""Composite analytics pipelines — multi-operator logical plans.
+
+Single-operator keys prove each primitive; these prove the primitives
+compose under Catalyst the way real workloads use them: TPC-H-shaped
+star-join reports (adapted to the fixture's columns, FIXTURES.md) and
+event-stream product analytics (funnel, retention). Each is declared as
+one DataFrame expression so the optimizer sees the whole plan — filter
+pushdown through joins, broadcast dim selection, join reordering, and
+partial aggregation all verified by the same oracle gate as everything
+else.
+
+100 TB posture: every pipeline joins facts to broadcast dims on equi
+keys, filters before joining (pushdown), and aggregates with map-side
+combine; the only shuffles are the aggregation keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "pipeline_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def pipeline_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority report (TPC-H Q3 adapted): segment-filtered
+    customers ⋈ date-filtered orders ⋈ lineitem, top-10 by revenue.
+    Filters sit on the base tables so they push into the scans before
+    either join."""
+    cutoff = "1995-03-15"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "pipeline_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def pipeline_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 adapted): the full 6-table star
+    join. Order is encoded in a revenue sort; the hash gate is
+    order-insensitive so no rank column is needed."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "pipeline_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
+      AND o.o_orderdate < TIMESTAMP '1994-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def pipeline_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item report (TPC-H Q10 adapted): top-20 customers by
+    lost revenue in a quarter."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "pipeline_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(t_view) AS n_view,
+      COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+      COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+        AS n_view_click_purchase
+    FROM stages
+    """,
+)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: per-user first-touch times in one
+    pivot-style aggregation, then ordered-stage counts. Two map-side-
+    combined aggregations, no joins, no windows — the cheapest funnel
+    shape at 100 TB (events shuffle once, on user_id)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    ordered_click = F.col("t_click") > F.col("t_view")
+    ordered_purchase = ordered_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(ordered_click, 1)).alias("n_view_click"),
+        F.count(F.when(ordered_purchase, 1)).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "pipeline_retention",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained_next_day
+    FROM days a
+    LEFT JOIN days b ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    """,
+)
+def pipeline_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: distinct active (user, day) pairs
+    self-joined one day forward. The self-join key is (user_id, day) —
+    an equi join that co-partitions both sides on the same shuffle key,
+    no theta join needed."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    nxt = days.select(
+        F.col("user_id").alias("u2"), F.date_sub("d", 1).alias("d2")
+    )
+    return (
+        days.join(
+            nxt, (F.col("user_id") == F.col("u2")) & (F.col("d") == F.col("d2")), "left"
+        )
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count("u2").alias("n_retained_next_day"),
+        )
+    )

@@ -42,5 +42,6 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark import functions  # noqa: F401
     from flume_hive_batch_sink_spark import llm  # noqa: F401
     from flume_hive_batch_sink_spark import operators  # noqa: F401
+    from flume_hive_batch_sink_spark import plans  # noqa: F401
     from flume_hive_batch_sink_spark import sources  # noqa: F401
     from flume_hive_batch_sink_spark import streaming  # noqa: F401
