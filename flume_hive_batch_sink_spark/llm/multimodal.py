@@ -155,3 +155,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id BIGINT, f0 DOUBLE, f1 DOUBLE, aspect DOUBLE, f3 DOUBLE",
     )
     return out.select("vec_id", F.round("aspect", 6).alias("aspect"), "f1")
+
+
+def fake_frame_sample(payload: bytes, every_n: int = 2) -> list[int]:
+    """Deterministic frame-sampler stand-in: the payload's 16-byte blocks
+    are 'frames'; keep every ``every_n``-th block's first byte. The real
+    video path swaps this for sample_frames() + a codec; the Spark-side
+    contract (binary in, variable-length array out) is identical."""
+    frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
+    return [f[0] for f in frames[::every_n]]
+
+
+def sample_frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        sampled = [fake_frame_sample(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "n_frames": [(len(p) + 15) // 16 for p in pdf["payload"]],
+                "n_sampled": [len(s) for s in sampled],
+                "first_byte": [s[0] if s else None for s in sampled],
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT vec_id,
+           CAST(1 + vec_id % 4 AS INT) AS n_frames,
+           CAST((1 + vec_id % 4 + 1) // 2 AS INT) AS n_sampled,
+           CAST(('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 2))::INT
+                AS INT) AS first_byte
+    FROM embeddings
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas plumbing: the payload's
+    16-byte blocks play video frames (1-4 per vec_id), every 2nd is kept.
+    The oracle predicts frame counts and the first sampled byte (= first
+    md5 byte of the payload) analytically — the Arrow binary round-trip
+    and variable-length output shape are what's under test."""
+    t = multimodal_table(spark, sf_dir)
+    out = t.mapInPandas(
+        sample_frames_kernel,
+        "vec_id BIGINT, n_frames INT, n_sampled INT, first_byte INT",
+    )
+    return out

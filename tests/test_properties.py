@@ -1,0 +1,69 @@
+"""Property-based tests (SURVEY.md §5.2.4, hypothesis): invariants that
+must hold for ALL inputs, not just the fixtures — dedup idempotence,
+union-all row conservation, and session-count monotonicity in the gap
+threshold. Examples are small and capped (Spark round-trip per example).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ids = st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40)
+
+
+@given(xs=ids)
+@SETTINGS
+def test_dedup_idempotent(spark, xs):
+    """f(f(x)) == f(x) for key dedup — the at-least-once replay property:
+    re-deduplicating already-deduplicated data changes nothing."""
+    df = spark.createDataFrame([(x,) for x in xs], "event_id INT")
+    once = df.dropDuplicates(["event_id"])
+    twice = once.dropDuplicates(["event_id"])
+    assert sorted(r.event_id for r in once.collect()) == sorted(
+        r.event_id for r in twice.collect()
+    ) == sorted(set(xs))
+
+
+@given(xs=ids, ys=ids)
+@SETTINGS
+def test_union_all_conserves_rows(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "v INT")
+    b = spark.createDataFrame([(y,) for y in ys], "v INT")
+    assert a.unionByName(b).count() == len(xs) + len(ys)
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=100_000), min_size=2, max_size=30
+    ),
+    theta_small=st.integers(min_value=1, max_value=1000),
+    delta=st.integers(min_value=1, max_value=5000),
+)
+@SETTINGS
+def test_session_count_monotone_in_gap(spark, ts, theta_small, delta):
+    """Raising the idle gap can only merge sessions, never split them:
+    n_sessions(θ) is non-increasing in θ. Same lag+cumsum construction
+    as idle_sessionize (operators/ingest.py)."""
+    df = spark.createDataFrame([(1, t) for t in ts], "user_id INT, ts LONG")
+    w = Window.partitionBy("user_id").orderBy("ts")
+
+    def n_sessions(theta: int) -> int:
+        gap = F.col("ts") - F.lag("ts").over(w)
+        sess = df.withColumn(
+            "sid",
+            F.sum(F.when(gap.isNull() | (gap > theta), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return sess.select("user_id", "sid").distinct().count()
+
+    assert n_sessions(theta_small) >= n_sessions(theta_small + delta)
