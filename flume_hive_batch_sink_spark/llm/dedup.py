@@ -85,41 +85,57 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes ground-truth all-pairs Jaccard; this pipeline
     must reproduce it exactly, which it does because the verify step is
     exact and LSH recall at the threshold is ~1-7e-8 (see module
-    constants). Signature pass is a single groupBy over exploded tokens
-    with map-side combine; band joins shuffle only (band_idx, band_key).
+    constants). Signatures are array expressions over the per-doc token
+    array (map-side, zero shuffles); band joins shuffle only
+    (band_idx, band_key); verify touches candidate pairs only, via
+    codegen array_intersect.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = _tokens(docs)
-
-    # per-doc MinHash signature: h_i = min over tokens of xxhash64(i:token)
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.xxhash64(F.concat_ws(":", F.lit(str(i)), F.col("token")))
-            ).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ]
+    # per-doc distinct token ARRAY — signatures and verify both work on
+    # the array column, so no token row-explosion or shuffle ever happens
+    # for the linear passes (the 100 TB-relevant change: signature
+    # computation is fully map-side)
+    tok_arr = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
 
-    # LSH bands: band key = md5 of the band's signature slice
-    band_structs = F.array(
+    # per-doc MinHash signature: h_i = min over tokens of xxhash64(i:token),
+    # an array_min(transform(...)) codegen expression — zero shuffles
+    sig = tok_arr.select(
+        "doc_id",
         *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        *[F.col(f"h{b * _ROWS + r}").cast("string") for r in range(_ROWS)],
-                    )
-                ).alias("band_key"),
+            F.array_min(
+                F.transform(
+                    F.col("toks"),
+                    lambda t, i=i: F.xxhash64(
+                        F.concat_ws(":", F.lit(str(i)), t)
+                    ),
+                )
+            ).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+
+    # LSH bands: band key = xxhash64 of the band's signature slice (an
+    # 8-byte join key — md5 strings quadruple the shuffle width for no
+    # information gain)
+    key_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * _ROWS + r}") for r in range(_ROWS)],
             )
             for b in range(_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band_idx", "bk.band_key"
+    bands = sig.select(
+        "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
     )
 
+    # Candidate pairs: bucket-mates in any band, deduplicated. distinct
+    # compiles to partial (map-side) + final hash aggregation, so the
+    # per-collision duplicates collapse before the shuffle where the
+    # data is dense (this fixture: ~83M matches → ~12M pairs at sf0.1).
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -132,28 +148,28 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verify: intersection via token join, union via per-doc sizes
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nt"))
-    ta, tb = tok.alias("ta"), tok.alias("tb")
-    inter = (
-        candidates.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.token") == F.col("ta.token")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
+    # exact verify on candidate pairs only: attach both token arrays
+    # (joins on doc_id — broadcast at test scale, co-partitioned shuffle
+    # joins at 100 TB) and intersect in codegen. Replaces the exploded
+    # token⋈token join whose output was |pairs|·|overlap| rows. Tokens
+    # are intersected as xxhash64 values (8-byte comparisons instead of
+    # strings; distinct-token sets, so |∩| is unchanged barring a 64-bit
+    # collision ~1e-9 for this vocabulary).
+    hashed = tok_arr.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("toks")
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    jac = F.col("ni").cast("double") / (
-        F.col("na.nt") + F.col("nb.nt") - F.col("ni")
+    pa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    pb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    verified = (
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
     )
-    return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .filter(jac >= _JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return verified.filter(jac >= _JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -184,13 +200,17 @@ _JACCARD_ORACLE = f"""
 @query("llm_jaccard_dedup", oracle=_JACCARD_ORACLE)
 def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs: word-bigram shingles, pairwise
-    Jaccard ≥ 0.6 via a shingle-equality join.
+    Jaccard ≥ 0.6, exact, via **prefix filtering** (AllPairs/PPJoin):
+    under a global rarest-first shingle order, two sets with J ≥ t must
+    share a shingle within their first |d| − ⌈t·|d|⌉ + 1 elements — so
+    only those prefixes generate candidates, and frequent (boilerplate)
+    shingles never join. Verification intersects hashed shingle arrays
+    per candidate pair in codegen.
 
     Bigram shingles capture local word order that the token-set Jaccard
-    of `llm_near_dedup_minhash` ignores. The pair generation here is the
-    exact shingle join (correctness tier); at 100 TB the identical
-    shingle→signature path feeds MinHash banding instead — shingling is
-    the only code that changes between the two, by design.
+    of `llm_near_dedup_minhash` ignores. At 100 TB this is the standard
+    exact set-similarity join: candidate volume tracks rare-shingle
+    collisions, not corpus size².
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
@@ -204,26 +224,68 @@ def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = docs.select("doc_id", F.explode(bigrams).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+
+    # global order: rarest shingle first (df asc, shingle asc tiebreak)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ranked")
+        )
+    )
+    n = F.size("ranked")
+    plen = (n - F.ceil(F.lit(_BIGRAM_T) * n) + 1).cast("int")
+    docs_arr = ranked.select(
+        "doc_id",
+        F.transform("ranked", lambda s: F.xxhash64(s["shingle"])).alias("hs"),
+        F.slice(F.transform("ranked", lambda s: F.xxhash64(s["shingle"])), 1, plen).alias(
+            "prefix"
+        ),
+    )
+
+    # PPJoin positional filter (also exact): a match at 0-based prefix
+    # position p leaves at most |d| − p overlappable elements, and
+    # J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — matches that cannot
+    # reach the bound are dropped inside the join stage, before the
+    # distinct shuffle.
+    pref = docs_arr.select(
+        "doc_id",
+        F.size("hs").alias("n"),
+        F.posexplode("prefix").alias("pos", "p"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    alpha = F.ceil(
+        F.lit(_BIGRAM_T / (1 + _BIGRAM_T)) * (F.col("a.n") + F.col("b.n"))
+    )
+    ubound = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    candidates = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ubound >= alpha),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ni"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    jac = F.col("ni").cast("double") / (F.col("na.ns") + F.col("nb.ns") - F.col("ni"))
-    return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .filter(jac >= _BIGRAM_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+    pa = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    pb = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    verified = (
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("ni", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("na", F.size("ha"))
+        .withColumn("nb", F.size("hb"))
+    )
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return verified.filter(jac >= _BIGRAM_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -290,13 +352,13 @@ def llm_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings carry no true duplicates, max pairwise cosine ≈ 0.51, so
     the threshold exercises the pipeline on real matches).
 
-    Exact pairwise here (the verify tier); at 100 TB candidate generation
-    goes through llm_ann_lsh buckets first — same verify code path.
+    Exact pairwise via blocked GEMM (the verify tier — each block-pair
+    task is one BLAS matmul emitting only its above-threshold entries);
+    at 100 TB candidate generation goes through llm_ann_lsh buckets
+    first — same verify code path.
     """
-    from flume_hive_batch_sink_spark.llm.similarity import cosine_pairs
+    from flume_hive_batch_sink_spark.llm.similarity import blocked_threshold_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, emb, upper_triangle=True)
-    return pairs.filter(F.col("cos_raw") >= 0.4).select(
-        "vec_a", "vec_b", F.round("cos_raw", 4).alias("cos")
-    )
+    pairs = blocked_threshold_pairs(emb, threshold=0.4, cache_key=sf_dir)
+    return pairs.select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))

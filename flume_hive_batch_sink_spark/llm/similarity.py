@@ -153,6 +153,109 @@ def blocked_topk_pairs(emb: DataFrame, k: int = 100, cache_key: str | None = Non
     return pairs.mapInPandas(kernel, "vec_a BIGINT, vec_b BIGINT, cos_raw DOUBLE")
 
 
+def blocked_threshold_pairs(
+    emb: DataFrame, threshold: float, cache_key: str | None = None
+) -> DataFrame:
+    """All pairs (vec_a < vec_b) with cosine ≥ threshold, via blocked
+    GEMM: each block-pair task emits its above-threshold entries from
+    one BLAS matmul. Exact (no candidate pruning) — the verify-tier twin
+    of blocked_topk_pairs for threshold semantics like near-dup."""
+    import numpy as np
+    import pandas as pd
+
+    blocks = block_index(emb, cache_key)
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([v["vec_id"] for v in row["va"]], dtype=np.int64)
+                mat_a = np.array([v["e"] for v in row["va"]], dtype=np.float64)
+                ids_b = np.array([v["vec_id"] for v in row["vb"]], dtype=np.int64)
+                mat_b = np.array([v["e"] for v in row["vb"]], dtype=np.float64)
+                mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+                mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sims = mat_a @ mat_b.T
+                keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ai, bi = np.nonzero(keep)
+                if len(ai) == 0:
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids_a[ai],
+                            "vec_b": ids_b[bi],
+                            "cos_raw": sims[ai, bi],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_raw": pd.Series(dtype="float64")}
+            )
+
+    return pairs.mapInPandas(kernel, "vec_a BIGINT, vec_b BIGINT, cos_raw DOUBLE")
+
+
+def blocked_knn_candidates(
+    emb: DataFrame, k: int, cache_key: str | None = None
+) -> DataFrame:
+    """Per-query k-nearest candidates via blocked GEMM.
+
+    Every (query-block, candidate-block) combination is one task whose
+    GEMM emits the top-k candidates *per query row* against that
+    candidate block; the exact global top-k per query is then a window
+    over ≤ k·#blocks candidate rows per query. Same O(n²/B²) BLAS
+    scale-out as blocked_topk_pairs, but row-wise: replaces the
+    4M-row zip_with dot-product expansion of naive all-pairs kNN.
+    """
+    import numpy as np
+    import pandas as pd
+
+    blocks = block_index(emb, cache_key)
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
+    pairs = a.crossJoin(b)  # all ordered block combos: query × candidate
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([v["vec_id"] for v in row["va"]], dtype=np.int64)
+                mat_a = np.array([v["e"] for v in row["va"]], dtype=np.float64)
+                ids_b = np.array([v["vec_id"] for v in row["vb"]], dtype=np.int64)
+                mat_b = np.array([v["e"] for v in row["vb"]], dtype=np.float64)
+                mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+                mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sims = mat_a @ mat_b.T
+                sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # self
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(len(ids_a)), kk)
+                cols = idx.ravel()
+                keep = sims[rows, cols] > -np.inf
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids_a[rows[keep]],
+                            "vec_b": ids_b[cols[keep]],
+                            "cos_raw": sims[rows[keep], cols[keep]],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_raw": pd.Series(dtype="float64")}
+            )
+
+    return pairs.mapInPandas(kernel, "vec_a BIGINT, vec_b BIGINT, cos_raw DOUBLE")
+
+
 @query(
     "llm_sim_topk_pairs",
     oracle="""
@@ -202,12 +305,13 @@ def llm_sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-NN majority-label vote per vector. The mode is computed
-    explicitly (count desc, label asc) — builtin mode() tie-breaks
-    differ across engines."""
+    """5-NN majority-label vote per vector, via blocked per-query GEMM
+    candidates (k per block-pair, exact superset of the global top-k).
+    The mode is computed explicitly (count desc, label asc) — builtin
+    mode() tie-breaks differ across engines."""
     emb = load(spark, sf_dir, "embeddings")
     labels = emb.select(F.col("vec_id").alias("vec_b"), "label")
-    sims = cosine_pairs(emb, emb, upper_triangle=False).join(labels, "vec_b")
+    sims = blocked_knn_candidates(emb, k=5, cache_key=sf_dir).join(labels, "vec_b")
     w = Window.partitionBy("vec_a").orderBy(F.col("cos_raw").desc(), F.col("vec_b"))
     topk = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
     votes = topk.groupBy("vec_a", "label").agg(F.count("*").alias("c"))
