@@ -267,3 +267,30 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(big), 2).alias("sum_big"),
         F.round(F.avg(big), 4).alias("avg_big"),
     )
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT event_type, count(*) AS n, ROUND(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: the grouping key is salted (16 ways on
+    a uniform column) so one hot key spreads over 16 reducers, then the
+    salt is aggregated away. events.event_type has only 5 values — at
+    100 TB a plain groupBy puts a fifth of the corpus on one task; the
+    two-phase shape bounds any reducer at 1/16 of a key's rows. (Spark's
+    map-side partial aggregation already does this implicitly when
+    upstream partitioning is uniform; explicit salting is the pattern
+    for when it is not, e.g. after a join that clustered the hot key.)
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
+    )

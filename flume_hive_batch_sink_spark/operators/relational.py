@@ -8,6 +8,8 @@ aggregation for distincts). Scale notes are per-operator docstrings.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -436,3 +438,65 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.subtract(b)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders, ROUND(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing: both tables are written
+    bucketed by the join key (8 buckets, sorted), so the join's required
+    distribution is already satisfied on disk and the plan has NO
+    Exchange before the join (asserted in tests/test_plans.py). This is
+    the 100 TB pattern for repeated fact⋈fact joins: pay the
+    partitioning once at write time, never at read time. Broadcast is
+    disabled for this query so the co-location (not a broadcast) is what
+    eliminates the shuffle.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    ob, cb = "bkt_orders", "bkt_customer"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (ob, cb):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a fresh session's in-memory catalog forgets managed tables but
+        # their directories survive on disk; clear them or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(ob)
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(cb)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table(ob), spark.table(cb)
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        out.collect()  # materialize under the no-broadcast conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

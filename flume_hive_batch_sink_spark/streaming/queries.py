@@ -150,3 +150,42 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("event_id", "event_type"), _qname("replay_smoke"), "append", spark
     )
     return out
+
+
+@query(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count kept in explicit GroupState across
+    micro-batches (4-chunk replay). Each batch emits the group's updated
+    total; the final state — max per user, since counts are monotone —
+    must equal the batch aggregate regardless of batching. This is the
+    escape hatch for stateful semantics Spark's built-in streaming
+    aggregates can't express (custom eviction, per-group machines).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = harness.replay_chunks(spark, sf_dir, n_chunks=4)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id BIGINT, n_events BIGINT",
+        "n BIGINT",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    emitted = harness.run_to_memory(out, _qname("custom_state"), "update", spark)
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

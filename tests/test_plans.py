@@ -123,3 +123,18 @@ def test_vector_kernel_prunes_columns(spark):
     p = plan(df)
     read_schema = p.split("ReadSchema")[1].split("\n")[0]
     assert "label" not in read_schema
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The bucketed fact⋈fact join must read pre-partitioned buckets and
+    sort-merge join them with NO exchange on either side — the pay-once
+    co-location contract."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+        p = plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning" not in p.split("HashAggregate")[0]
