@@ -93,6 +93,38 @@ def block_index(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
     return blocks
 
 
+def block_pairs(
+    emb: DataFrame, mode: str, cache_key: str | None = None
+) -> DataFrame:
+    """Block-pair search structure: (va, vb) vector-payload rows, one row
+    per block combination, pre-shuffled so every pair lands on its own
+    task.
+
+    ``mode='tri'`` keeps the upper triangle blk_a ≤ blk_b (symmetric
+    pair kernels); ``mode='cross'`` keeps all ordered combos (per-query
+    kNN, where query and candidate roles differ). Like ``block_index``
+    this is the build half of the search system and is cached per
+    dataset — the payload shuffle (the dominant per-query cost: each row
+    carries ≤_BLOCK×dim doubles) happens once, and every subsequent
+    top-k / threshold / kNN query is a map-only stage over the cached
+    partitions. k and thresholds live in the kernel, not the structure,
+    so all query shapes share one cache entry per mode.
+    """
+    ck = None if cache_key is None else f"{cache_key}::{mode}"
+    if ck is not None and ck in _BLOCK_INDEX:
+        return _BLOCK_INDEX[ck]
+    blocks = block_index(emb, cache_key)
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
+    cond = F.col("blk_a") <= F.col("blk_b") if mode == "tri" else F.lit(True)
+    pairs = a.join(b, cond).repartition(F.col("blk_a"), F.col("blk_b"))
+    if ck is not None:
+        pairs = pairs.cache()
+        pairs.count()
+        _BLOCK_INDEX[ck] = pairs
+    return pairs
+
+
 def blocked_topk_pairs(emb: DataFrame, k: int = 100, cache_key: str | None = None) -> DataFrame:
     """Global top-k cosine pairs via blocked GEMM.
 
@@ -108,12 +140,7 @@ def blocked_topk_pairs(emb: DataFrame, k: int = 100, cache_key: str | None = Non
     import numpy as np
     import pandas as pd
 
-    blocks = block_index(emb, cache_key)
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        F.col("blk_a"), F.col("blk_b")
-    )
+    pairs = block_pairs(emb, "tri", cache_key)
 
     def kernel(batches):
         for pdf in batches:
@@ -163,10 +190,7 @@ def blocked_threshold_pairs(
     import numpy as np
     import pandas as pd
 
-    blocks = block_index(emb, cache_key)
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    pairs = block_pairs(emb, "tri", cache_key)
 
     def kernel(batches):
         for pdf in batches:
@@ -216,10 +240,7 @@ def blocked_knn_candidates(
     import numpy as np
     import pandas as pd
 
-    blocks = block_index(emb, cache_key)
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
-    pairs = a.crossJoin(b)  # all ordered block combos: query × candidate
+    pairs = block_pairs(emb, "cross", cache_key)
 
     def kernel(batches):
         for pdf in batches:
