@@ -441,6 +441,52 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ROUND(sum(value), 2) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           ROUND(sum(e.value + d.type_total), 2) AS blended
+    FROM events e JOIN d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi join via key salting: the probe side's join
+    key has only 5 distinct values, so an unsalted shuffle join puts
+    ~1/5 of the fact table on ONE reducer. Salting appends pmod(row-id,
+    16) to the probe key and explodes the build side 16× with every
+    salt, turning each hot key into 16 evenly-sized reducer partitions.
+    Here the build side is small enough to broadcast (which is the
+    right fix when possible — see join_broadcast); the salted shape is
+    forced with a shuffle_hash hint because it is the pattern for
+    fact⋈fact skew where neither side fits in memory. AQE's
+    skewedJoin optimization automates the same split at runtime; the
+    explicit version works on any Spark and under any partitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("type_total")
+    )
+    n_salt = 16
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumnRenamed("event_type", "d_event_type")
+    joined = fact.join(
+        dim_rep.hint("shuffle_hash"),
+        (fact.event_type == dim_rep.d_event_type)
+        & (fact.salt == dim_rep.salt),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") + F.col("type_total")), 2).alias("blended"),
+    )
+
+
+@query(
     "join_bucketed_colocated",
     oracle="""
     SELECT c.c_mktsegment,
