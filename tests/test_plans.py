@@ -138,3 +138,50 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in p
     assert "Exchange hashpartitioning" not in p.split("HashAggregate")[0]
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "pipeline_tpch_q3",
+        "pipeline_tpch_q5",
+        "pipeline_tpch_q7",
+        "pipeline_tpch_q9",
+        "pipeline_tpch_q10",
+        "pipeline_tpch_q14",
+        "pipeline_tpch_q18",
+        "pipeline_tpch_q19",
+    ],
+)
+def test_tpch_pipelines_broadcast_dims(spark, key):
+    """Every star-join pipeline must broadcast its dimension sides and
+    never degrade to a cartesian/nested-loop product."""
+    p = plan(registry.QUERIES[key](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark):
+    """The EXISTS predicate must be a LeftSemi join (ships only the join
+    key, never widens rows)."""
+    p = plan(registry.QUERIES["pipeline_tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q6_predicates_reach_scan(spark):
+    """Q6 is scan-filter-agg: all three predicates must appear in the
+    parquet PushedFilters, and the plan must contain no join at all."""
+    p = plan(registry.QUERIES["pipeline_tpch_q6"](spark, SF_DIR))
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed
+    assert "Join" not in p
+
+
+def test_tpch_q22_scalar_subquery_stays_distributed(spark):
+    """The scalar average must arrive via a 1-row broadcast nested-loop
+    cross join (legitimate: one row), and the no-orders predicate via a
+    left-anti join — no driver-side collect in the plan."""
+    p = plan(registry.QUERIES["pipeline_tpch_q22"](spark, SF_DIR))
+    assert "LeftAnti" in p
