@@ -2,6 +2,7 @@
 
 from flume_hive_batch_sink_spark.operators import (  # noqa: F401
     aggregates,
+    etl,
     ingest,
     relational,
     udfs,

@@ -1,0 +1,212 @@
+"""ETL maintenance operators — upsert, history tracking, data quality.
+
+The reference is an ingest pipeline (SURVEY.md §0.1); a production
+deployment of one always grows these table-maintenance jobs around it:
+merge-upsert of late/corrected records into a snapshot, type-2 history
+of changing values, column profiling, and referential integrity checks
+between fact and dimension loads. All are pure DataFrame compositions —
+no UDFs — so Catalyst plans them like any other query.
+
+100 TB posture: upsert and SCD2 shuffle once on the business key (the
+same partitioning their window functions need — one exchange total);
+profiling is a single map-side-combinable pass; the FK check is a
+left-anti join that ships only the key column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+    WITH unioned AS (
+      SELECT user_id, ts, value, 1 AS is_update
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-20' AND event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, value, 0 AS is_update
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-20' AND event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY is_update DESC, ts DESC
+      ) AS rn
+      FROM unioned
+    )
+    SELECT user_id, ts AS latest_ts, ROUND(value, 2) AS latest_value,
+           is_update
+    FROM ranked WHERE rn = 1
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge-upsert: a base snapshot (purchases before Jan 20) is
+    merged with an update batch (on/after Jan 20); updates win on key
+    collision, otherwise the freshest base row stands. Expressed as
+    union + one window over the business key — the MERGE INTO plan
+    shape without requiring a transactional table format. One shuffle
+    on user_id; at 100 TB the update batch is typically <1% of the
+    snapshot, and this plan never rewrites unmatched base partitions
+    early (the window filter drops them before any write)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.filter(F.col("ts") < "2024-01-20").withColumn(
+        "is_update", F.lit(0)
+    )
+    updates = ev.filter(F.col("ts") >= "2024-01-20").withColumn(
+        "is_update", F.lit(1)
+    )
+    unioned = updates.unionByName(base).select(
+        "user_id", "ts", "value", "is_update"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("is_update").desc(), F.col("ts").desc()
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("latest_ts"),
+            F.round("value", 2).alias("latest_value"),
+            "is_update",
+        )
+    )
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           ROUND(value, 2) AS value,
+           CASE WHEN lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history: each change event becomes a
+    versioned row with [valid_from, valid_to) effectivity derived from
+    the next change of the same key — the standard lead-window
+    construction. event_id tiebreaks equal timestamps so the interval
+    chain is deterministic. One shuffle on user_id."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_nonnull,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           CAST(ROUND(min(o_totalprice), 2) AS VARCHAR) AS min_value,
+           CAST(ROUND(max(o_totalprice), 2) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the load-validation step of an ingest
+    pipeline): per-column row/non-null/distinct counts and min/max,
+    emitted as one narrow row per column. Each column's stats are one
+    aggregate over the same cached scan; Catalyst collapses the union
+    of four single-row aggregates into parallel stages. At 100 TB,
+    swap count(DISTINCT) for approx_count_distinct — the exact form is
+    kept here because the oracle must hash-match."""
+    o = load(spark, sf_dir, "orders")
+
+    def prof(col: str, fmt) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            fmt(F.min(col)).alias("min_value"),
+            fmt(F.max(col)).alias("max_value"),
+        )
+
+    price = prof("o_totalprice", lambda c: F.round(c, 2).cast("string"))
+    status = prof("o_orderstatus", lambda c: c)
+    prio = prof("o_orderpriority", lambda c: c)
+    cust = prof("o_custkey", lambda c: c.cast("string"))
+    return price.unionByName(status).unionByName(prio).unionByName(cust)
+
+
+@query(
+    "dq_referential_check",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM (
+      SELECT l.l_orderkey FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM (
+      SELECT o.o_custkey FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    """,
+)
+def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between loads: count fact rows whose
+    foreign key has no match in the dimension (orphans). Left-anti
+    joins ship only the key columns; a healthy load reports zeros, and
+    the operator's output is the audit row either way."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(
+            F.lit("lineitem.l_orderkey->orders").alias("fk"),
+            F.count("*").alias("n_orphans"),
+        )
+    )
+    orphan_o = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(
+            F.lit("orders.o_custkey->customer").alias("fk"),
+            F.count("*").alias("n_orphans"),
+        )
+    )
+    return orphan_li.unionByName(orphan_o)
