@@ -1,0 +1,156 @@
+"""Time-series operators — dense-grid gap fill and bar resampling.
+
+The reference's output tables are time-partitioned event streams; the
+queries downstream dashboards run over them are time-series shaped:
+"give me a dense hourly series even where nothing happened" (gap fill +
+forward fill) and "resample ticks into bars" (OHLC). Both are pure
+DataFrame compositions: the dense grid is generated with ``sequence``
+from a 1-row global-bounds aggregate broadcast to the grid build (never
+collected to the driver), and forward-fill is ``last(ignorenulls)``
+over an hour-ordered window per series key.
+
+100 TB posture: the grid's size is #series × #buckets — independent of
+event count, so the left join puts the (huge) fact table on the probe
+side against a broadcastable grid for any realistic dashboard range;
+the window partitions by series key (bounded state per task). The agg
+before the join means the join and window operate on bucket-grain rows
+(#buckets × #series), not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+
+@query(
+    "ts_gapfill_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n, ROUND(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hr,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ffill
+    FROM grid g
+    LEFT JOIN agg a ON a.event_type = g.event_type AND a.hr = g.hr
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled counts and
+    forward-filled averages: the TimescaleDB time_bucket_gapfill +
+    locf pattern. The hour grid comes from sequence() over the global
+    [min, max] bounds — a 1-row aggregate cross-joined in, exploded,
+    and crossed with the distinct series keys; events only ever flow
+    through the bucket-grain aggregation."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy(grid.event_type)
+        .orderBy(grid.hr)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            agg,
+            (grid.event_type == agg.event_type) & (grid.hr == agg.hr),
+            "left",
+        )
+        .select(
+            grid.event_type,
+            grid.hr,
+            F.coalesce(agg.n, F.lit(0)).alias("n_events"),
+            F.last(agg.avg_value, ignorenulls=True)
+            .over(w)
+            .alias("avg_value_ffill"),
+        )
+    )
+
+
+@query(
+    "ts_hourly_ohlc",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn_asc,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_desc
+      FROM events
+    )
+    SELECT event_type, hr,
+           ROUND(min(CASE WHEN rn_asc = 1 THEN value END), 2) AS open,
+           ROUND(max(value), 2) AS high,
+           ROUND(min(value), 2) AS low,
+           ROUND(min(CASE WHEN rn_desc = 1 THEN value END), 2) AS close,
+           count(*) AS n_ticks
+    FROM ordered
+    GROUP BY event_type, hr
+    """,
+)
+def ts_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-bar resampling: per (event_type, hour) the first/max/
+    min/last value — the OHLC candle. First/last are row_number picks
+    with event_id tiebreaking equal timestamps (deterministic under
+    any partitioning); the window and the aggregation share one
+    shuffle on the bar key."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    wk = Window.partitionBy("event_type", "hr")
+    asc = wk.orderBy("ts", "event_id")
+    desc = wk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn_asc", F.row_number().over(asc))
+        .withColumn("rn_desc", F.row_number().over(desc))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("rn_asc") == 1, F.col("value"))), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.min(F.when(F.col("rn_desc") == 1, F.col("value"))), 2
+            ).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
