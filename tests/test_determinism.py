@@ -33,6 +33,11 @@ RISKY = [
     "udf_grouped_map",
     "topk_per_group",
     "limit_topk",
+    "llm_dup_clusters",
+    "sample_stratified",
+    "split_train_test",
+    "ts_hourly_ohlc",
+    "etl_merge_upsert",
 ]
 
 
