@@ -57,3 +57,72 @@ def test_hive_sink_end_to_end_matches_batch(spark):
     streamed = sink.read_sink_table(spark, out).count()
     direct = load(spark, SF_DIR, "events").count()
     assert streamed == direct
+
+
+def test_hive_sink_recovers_from_partial_epoch(spark):
+    """Crash recovery: an epoch that wrote part of its output but never
+    reached the checkpoint commit (process died mid-epoch) must be
+    cleanly replaced on restart. Protocol under test: the file source's
+    batch ids restart from the last COMMITTED batch, so the replayed
+    micro-batch reuses the crashed epoch's id, and the epoch-keyed
+    dynamic overwrite replaces the partial output — at-least-once
+    replay, exactly-once table state."""
+    import pandas as pd
+
+    ev = load(spark, SF_DIR, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    quarters = [
+        pdf.iloc[i * len(pdf) // 4 : (i + 1) * len(pdf) // 4]
+        for i in range(4)
+    ]
+
+    base = tempfile.mkdtemp(prefix="sink_recovery_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "tbl")
+    chk = os.path.join(base, "chk")
+    os.makedirs(src)
+
+    def stage(i: int) -> None:
+        quarters[i].to_parquet(
+            os.path.join(src, f"chunk_{i:03d}.parquet"), index=False
+        )
+
+    def run_sink() -> None:
+        s = (
+            spark.readStream.schema(harness.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            s.writeStream.foreachBatch(
+                lambda df, eid: sink.write_epoch(df, eid, out)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # epoch 0 and 1 commit cleanly
+    stage(0)
+    stage(1)
+    run_sink()
+    committed = sink.read_sink_table(spark, out).count()
+    assert committed == len(quarters[0]) + len(quarters[1])
+
+    # the process "crashes" mid-epoch 2: half its rows hit the table,
+    # but the checkpoint never records the batch as committed
+    partial = spark.createDataFrame(quarters[2].iloc[: len(quarters[2]) // 2])
+    sink.write_epoch(partial, 2, out)
+
+    # restart from the same checkpoint with the remaining input staged
+    stage(2)
+    stage(3)
+    run_sink()
+
+    table = sink.read_sink_table(spark, out)
+    assert table.count() == len(pdf), "row count after recovery"
+    assert table.select("event_id").distinct().count() == len(pdf), (
+        "no duplicated events after epoch replay"
+    )
