@@ -202,3 +202,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id BIGINT, n_frames INT, n_sampled INT, first_byte INT",
     )
     return out
+
+
+def fake_resize(payload: bytes, width: int, height: int, box: int = 256):
+    """Deterministic resize stand-in: fit (width, height) into a box×box
+    square preserving aspect ratio with integer floor math; the "pixel"
+    payload is represented by its byte count. A real codec (PIL/ffmpeg)
+    drops in here without touching the Spark-side contract."""
+    longest = max(width, height)
+    new_w = (width * box) // longest
+    new_h = (height * box) // longest
+    return new_w, new_h, len(payload)
+
+
+def resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        resized = [
+            fake_resize(p, m["width"], m["height"])
+            for p, m in zip(pdf["payload"], pdf["meta"])
+        ]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "new_width": [r[0] for r in resized],
+                "new_height": [r[1] for r in resized],
+                "n_src_bytes": [r[2] for r in resized],
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT vec_id,
+           CAST((64 + vec_id % 512) * 256
+                // greatest(64 + vec_id % 512, 64 + (vec_id * 7) % 512)
+                AS INT) AS new_width,
+           CAST((64 + (vec_id * 7) % 512) * 256
+                // greatest(64 + vec_id % 512, 64 + (vec_id * 7) % 512)
+                AS INT) AS new_height,
+           CAST(16 * (1 + vec_id % 4) AS BIGINT) AS n_src_bytes
+    FROM embeddings
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize through the mapInPandas plumbing (the
+    image-preprocessing step of a multimodal training pipeline). The
+    oracle recomputes the integer box-fit analytically from the
+    synthesized metadata, verifying the Arrow round-trip of binary +
+    nested-struct columns and the kernel's batch shape."""
+    t = multimodal_table(spark, sf_dir)
+    return t.mapInPandas(
+        resize_kernel,
+        "vec_id BIGINT, new_width INT, new_height INT, n_src_bytes BIGINT",
+    )
