@@ -154,3 +154,40 @@ def ts_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_ticks"),
         )
     )
+
+
+@query(
+    "ts_rollup_multigrain",
+    oracle="""
+    SELECT event_type,
+           date_trunc('month', ts) AS month,
+           date_trunc('day', ts) AS day,
+           GROUPING(event_type, date_trunc('month', ts),
+                    date_trunc('day', ts)) AS gid,
+           count(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('month', ts),
+                     date_trunc('day', ts))
+    """,
+)
+def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces every
+    grain of the (event_type → month → day) hierarchy plus the grand
+    total, with grouping_id disambiguating subtotal rows. ROLLUP
+    expands AFTER partial aggregation, so the exchange carries
+    partially-combined states per grouping set, not raw events — the
+    materialized-rollup maintenance query of a 100 TB metrics store."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("month", F.date_trunc("month", "ts"))
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    return ev.rollup("event_type", "month", "day").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
