@@ -151,6 +151,12 @@ def test_bucketed_join_has_no_shuffle(spark):
         "pipeline_tpch_q14",
         "pipeline_tpch_q18",
         "pipeline_tpch_q19",
+        "pipeline_tpch_q8",
+        "pipeline_tpch_q15",
+        "pipeline_tpch_q16",
+        "pipeline_tpch_q17",
+        "pipeline_tpch_q20",
+        "pipeline_tpch_q21",
     ],
 )
 def test_tpch_pipelines_broadcast_dims(spark, key):
@@ -185,3 +191,29 @@ def test_tpch_q22_scalar_subquery_stays_distributed(spark):
     left-anti join — no driver-side collect in the plan."""
     p = plan(registry.QUERIES["pipeline_tpch_q22"](spark, SF_DIR))
     assert "LeftAnti" in p
+
+
+def test_tpch_q1_pure_scan_agg(spark):
+    """Q1 must stay a joinless scan-filter-aggregate with the shipdate
+    predicate pushed into the parquet scan."""
+    p = plan(registry.QUERIES["pipeline_tpch_q1"](spark, SF_DIR))
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+    assert "Join" not in p
+
+
+def test_tpch_q21_sole_failer_is_semi_plus_anti(spark):
+    """The EXISTS/NOT EXISTS pair must compile to one semi and one anti
+    self-join on lineitem — never a window or cartesian over the order."""
+    p = plan(registry.QUERIES["pipeline_tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q11_total_stays_distributed(spark):
+    """Q11's grand total must be a 1-row broadcast into the HAVING
+    comparison (Q22 pattern), not a driver-side collect."""
+    p = plan(registry.QUERIES["pipeline_tpch_q11"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p  # supplier/nation dims
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
