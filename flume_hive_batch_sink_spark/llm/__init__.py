@@ -2,6 +2,7 @@
 
 from flume_hive_batch_sink_spark.llm import (  # noqa: F401
     clusters,
+    curation,
     dedup,
     multimodal,
     sampling,

@@ -1,0 +1,231 @@
+"""2.I — Corpus-curation operators for training-data pipelines.
+
+The filters a production pretraining pipeline runs between raw crawl and
+tokenizer: PII redaction, repetition scoring (Gopher-style quality
+signal), benchmark decontamination (n-gram overlap against a held-out
+eval set), and fixed-stride document chunking. All four are pure
+codegen'd expression/join work — no Python in the hot path — and every
+one is oracle-backed.
+
+100 TB posture: per-doc signals are computed from array expressions
+inside the row (no shuffle at all); the decontamination join broadcasts
+the benchmark-gram set (the eval corpus is ~1% of training data by
+construction, and only distinct gram hashes ship); chunking fan-out is
+a generate-style explode whose output partitioning inherits the input's,
+so downstream tokenization needs no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+_DIGITS = r"[0-9]{4,}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_DIGITS}')) AS INT)
+             AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PHONE}', '<PHONE>', 'g'),
+                 '{_DIGITS}', '<NUM>', 'g')) AS redacted_hash
+    FROM documents
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace email / phone / long-digit-run spans with
+    typed placeholder tokens and count hits per class. Patterns are
+    shared RE2/Java-regex-compatible literals so the oracle runs the
+    byte-identical regexes. The redacted text itself is hashed in the
+    result (full text would bloat the compare; the hash pins every byte
+    of the rewrite)."""
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+        ),
+        _DIGITS,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(_DIGITS)).cast("int").alias("n_digit_runs"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+@query(
+    "llm_repetition_score",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tfc AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tf GROUP BY doc_id, token
+    ), tok_stats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS max_tok
+      FROM tfc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' '))),
+                            j -> string_split(text, ' ')[j] || ' ' ||
+                                 string_split(text, ' ')[j + 1]) AS bigrams
+      FROM documents
+    )
+    SELECT t.doc_id,
+           ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+             AS dup_token_ratio,
+           CASE WHEN len(b.bigrams) = 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(len(list_distinct(b.bigrams)) AS DOUBLE)
+                           / len(b.bigrams), 6) END AS dup_bigram_ratio,
+           ROUND(CAST(t.max_tok AS DOUBLE) / t.n_tokens, 6) AS top_token_ratio
+    FROM tok_stats t JOIN bg b ON t.doc_id = b.doc_id
+    """,
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    ratio, duplicate-bigram ratio, and most-frequent-token share. Token
+    stats go through one explode + two hash-aggs (linear in corpus size,
+    partitioned by doc_id); the bigram ratio stays an in-row array
+    expression — no quadratic work anywhere, long docs cost O(tokens)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok_stats = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("max_tok"),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "j -> concat_ws(' ', split(text, ' ')[j - 1], split(text, ' ')[j]))"
+    )
+    bg = d.select("doc_id", bigrams.alias("bigrams"))
+    dup_bigram = F.when(F.size("bigrams") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.size(F.array_distinct("bigrams")).cast("double")
+            / F.size("bigrams"),
+            6,
+        )
+    )
+    return tok_stats.join(bg, "doc_id").select(
+        "doc_id",
+        F.round(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_token_ratio"),
+        dup_bigram.alias("dup_bigram_ratio"),
+        F.round(F.col("max_tok").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+# 5-token shingles; the "benchmark" eval set is the deterministic ~1%
+# slice doc_id % 97 == 0 (no external fixture exists, and the slice rule
+# is part of the operator contract so both engines agree byte-for-byte).
+_DECON_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 3),
+                    j -> md5(t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' ||
+                             t[j+3] || ' ' || t[j+4]))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT DISTINCT gr.doc_id, gr.source
+    FROM grams gr JOIN bench b ON gr.g = b.g
+    WHERE gr.doc_id % 97 <> 0
+"""
+
+
+@query("llm_decontaminate", oracle=_DECON_ORACLE)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-token shingle with the held-out eval slice (doc_id % 97 == 0).
+    Both sides explode to md5'd shingles; the eval-gram set is DISTINCT
+    and broadcast (eval corpora are orders of magnitude smaller than
+    training data), so flagging is a broadcast semi join — the training
+    side never shuffles. This is the standard pre-training hygiene step
+    (e.g. GPT-3/PaLM style 13-gram overlap, scaled to the fixture's
+    short docs)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.when(
+        F.size(toks) >= 5,
+        F.expr(
+            "transform(sequence(1, size(split(text,' ')) - 4), j -> "
+            "md5(concat_ws(' ', split(text,' ')[j-1], split(text,' ')[j], "
+            "split(text,' ')[j+1], split(text,' ')[j+2], split(text,' ')[j+3])))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "doc_id", "source", F.explode(shingles).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+
+
+@query(
+    "llm_doc_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, s, s + 49)) AS INT) AS n_tokens,
+           md5(array_to_string(list_slice(t, s, s + 49), ' ')) AS chunk_hash
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS s FROM toks)
+    """,
+)
+def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride chunking for context-window packing: 50-token chunks
+    every 40 tokens (10-token overlap). Chunk starts come from an in-row
+    sequence + explode — a generate-style fan-out that preserves the
+    input partitioning, so the downstream tokenizer reads chunks where
+    the docs already live. Chunk text is hashed in the result (the hash
+    pins exact chunk boundaries and content)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    out = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(40))).alias("s"),
+        )
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), 50)
+    return out.select(
+        "doc_id",
+        ((F.col("s") - 1) / 40).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

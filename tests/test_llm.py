@@ -65,3 +65,86 @@ def test_multimodal_fake_features_deterministic(spark):
     a = fake_feature_extract(b"abcdef12", 128, 64)
     b = fake_feature_extract(b"abcdef12", 128, 64)
     assert a == b and a[2] == 2.0
+
+
+def test_pii_redact_rewrites_crafted_text(spark):
+    """The fixture corpus has no PII (all-letters word soup), so exercise
+    the redaction patterns on crafted rows: emails, phones, and digit
+    runs must be replaced and counted; clean text must pass untouched."""
+    from flume_hive_batch_sink_spark.llm.curation import _DIGITS, _EMAIL, _PHONE
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk for details"),
+            (2, "call +1 (555) 123-4567 now"),
+            # 5 digits: long enough for the digit-run pattern, short of
+            # the phone pattern's 8-char minimum (which wins on longer runs)
+            (3, "order id 12345 shipped"),
+            (4, "perfectly clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    red = df.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE)).alias("n_phones"),
+        F.regexp_count("text", F.lit(_DIGITS)).alias("n_digits"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+            ),
+            _DIGITS,
+            "<NUM>",
+        ).alias("redacted"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in red}
+    assert by_id[1]["n_emails"] == 1 and "<EMAIL>" in by_id[1]["redacted"]
+    assert "bob.smith" not in by_id[1]["redacted"]
+    assert by_id[2]["n_phones"] == 1 and "<PHONE>" in by_id[2]["redacted"]
+    assert by_id[3]["n_digits"] == 1 and "<NUM>" in by_id[3]["redacted"]
+    assert by_id[4]["redacted"] == "perfectly clean text"
+
+
+def test_doc_chunk_boundaries(spark):
+    """Chunking invariants on the real corpus: stride-40 starts, chunks
+    capped at 50 tokens, every token covered, overlap only between
+    consecutive chunks of the same doc."""
+    from flume_hive_batch_sink_spark.io import load
+    from flume_hive_batch_sink_spark.llm.curation import llm_doc_chunk
+
+    chunks = llm_doc_chunk(spark, SF_DIR)
+    bad = chunks.filter((F.col("n_tokens") < 1) | (F.col("n_tokens") > 50))
+    assert bad.count() == 0
+    # sum of non-overlapped token counts = doc token count
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.max("chunk_idx").alias("max_idx")
+    )
+    j = per_doc.join(docs, "doc_id")
+    # chunk count == number of stride starts == ceil(n / 40)
+    mismatch = j.filter(
+        F.col("n_chunks") != F.ceil(F.col("n") / F.lit(40.0)).cast("long")
+    )
+    assert mismatch.count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that copies 5 consecutive tokens from an eval doc
+    (doc_id % 97 == 0) must be flagged; disjoint docs must not."""
+    from flume_hive_batch_sink_spark.llm import curation
+
+    rows = [
+        (0, "srcA", "alpha beta gamma delta epsilon zeta"),  # eval (0 % 97 == 0)
+        (1, "srcB", "xx alpha beta gamma delta epsilon yy"),  # overlaps
+        (2, "srcC", "one two three four five six seven"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        flagged = curation.llm_decontaminate(spark, td).collect()
+    ids = {r["doc_id"] for r in flagged}
+    assert ids == {1}
