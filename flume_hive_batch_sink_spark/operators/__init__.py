@@ -5,6 +5,7 @@ from flume_hive_batch_sink_spark.operators import (  # noqa: F401
     etl,
     ingest,
     relational,
+    sketches,
     timeseries,
     udfs,
     windows,
