@@ -217,3 +217,38 @@ def test_tpch_q11_total_stays_distributed(spark):
     p = plan(registry.QUERIES["pipeline_tpch_q11"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p  # supplier/nation dims
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_partition_pruning_static_and_dynamic(spark):
+    """The Hive-style partitioned layout must support both pruning modes
+    at the scan: a literal dt predicate becomes a static PartitionFilter
+    (only that directory is listed), and a join against a filtered dim
+    on the partition column injects a dynamicpruningexpression — the
+    mechanism that keeps a 100 TB dt-partitioned fact scan proportional
+    to the dims actually joined."""
+    import tempfile
+
+    from flume_hive_batch_sink_spark.operators.ingest import (
+        hive_partitioned_write_path,
+        with_partition_keys,
+    )
+
+    ev = with_partition_keys(load(spark, SF_DIR, "events"))
+    out = os.path.join(tempfile.mkdtemp(prefix="prune_"), "tbl")
+    hive_partitioned_write_path(ev, out, partition_cols=("dt",))
+    back = spark.read.parquet(out)
+    val = back.select("dt").first()["dt"]
+
+    static = plan(back.filter(F.col("dt") == val).groupBy("event_type").count())
+    pf = [l for l in static.split("\n") if "PartitionFilters" in l][0]
+    assert str(val) in pf
+
+    dim = (
+        ev.select("dt")
+        .distinct()
+        .filter(F.col("dt") <= F.lit(str(val)))
+        .limit(3)
+        .withColumn("dt", F.col("dt").cast(back.schema["dt"].dataType))
+    )
+    dyn = plan(back.join(F.broadcast(dim), "dt").groupBy("event_type").count())
+    assert "dynamicpruning" in dyn.lower()
