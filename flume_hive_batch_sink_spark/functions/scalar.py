@@ -300,3 +300,64 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(F.lower(F.trim("text"))).alias("content_key"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
+           regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot,
+           CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INT)
+             AS n_upper_runs,
+           regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS letters_only
+    FROM orders
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: group extraction, boolean match, match counting via
+    extract-all, and character-class stripping. Patterns are RE2/Java
+    compatible; DuckDB's regexp_replace takes the 'g' flag to match
+    Spark's replace-all default."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).alias("prio_num"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_hot"),
+        # idx 0 = whole match: Spark defaults to group 1, DuckDB to 0
+        F.size(F.regexp_extract_all("o_orderpriority", F.lit(r"[A-Z]+"), 0))
+        .cast("int")
+        .alias("n_upper_runs"),
+        F.regexp_replace("o_orderpriority", r"[^A-Z]", "").alias("letters_only"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           struct_pack(k := c_custkey, seg := c_mktsegment).seg AS seg_field,
+           struct_pack(k := c_custkey, seg := c_mktsegment).k + 1
+             AS key_plus_one,
+           struct_pack(a := least(c_custkey, c_nationkey),
+                       b := greatest(c_custkey, c_nationkey)).a AS lo_field
+    FROM customer
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (the nested-type surface of the
+    serializer schema mapping, SURVEY.md §1.2). Structs are built and
+    immediately field-accessed so the hash gate sees scalars — struct
+    wire formats differ between engines, field values don't."""
+    c = load(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+    s2 = F.struct(
+        F.least("c_custkey", F.col("c_nationkey").cast("long")).alias("a"),
+        F.greatest("c_custkey", F.col("c_nationkey").cast("long")).alias("b"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("seg").alias("seg_field"),
+        (s.getField("k") + 1).alias("key_plus_one"),
+        s2.getField("a").alias("lo_field"),
+    )

@@ -210,3 +210,58 @@ def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orphan_li.unionByName(orphan_o)
+
+
+@query(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           true AS files_reduced, true AS rows_conserved
+    FROM events
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every long-running
+    ingest pipeline needs: a fragmented table (many tiny files, here
+    forced via maxRecordsPerFile) is rewritten into size-targeted files
+    with row-for-row conservation. The rewrite is one repartition to
+    ceil(bytes / 128 MB) output files — the 128–512 MB file-size
+    discipline from SCALE.md — and never touches the driver. The result
+    certifies the invariants (fewer files, zero row drift) alongside the
+    oracle-checked row count; file counts themselves aren't SQL-visible,
+    so they ride as booleans."""
+    import math
+    import os as _os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag_dir = _os.path.join(base, "fragmented")
+    out_dir = _os.path.join(base, "compacted")
+    # simulate a fragmented ingest output: many writers, tiny roll size
+    ev.repartition(16).write.mode("overwrite").option(
+        "maxRecordsPerFile", 200
+    ).parquet(frag_dir)
+
+    def _parquet_files(d: str) -> list[str]:
+        return [
+            _os.path.join(r, f)
+            for r, _, fs in _os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    frag_files = _parquet_files(frag_dir)
+    frag_bytes = sum(_os.path.getsize(f) for f in frag_files)
+    target_files = max(1, math.ceil(frag_bytes / (128 << 20)))
+    back = spark.read.parquet(frag_dir)
+    back.repartition(target_files).write.mode("overwrite").parquet(out_dir)
+
+    compacted = spark.read.parquet(out_dir)
+    n_after = len(_parquet_files(out_dir))
+    n_rows_src = ev.count()
+    return compacted.agg(F.count("*").alias("n_rows")).select(
+        F.col("n_rows").cast("long"),
+        F.lit(n_after < len(frag_files)).alias("files_reduced"),
+        (F.col("n_rows") == n_rows_src).alias("rows_conserved"),
+    )
