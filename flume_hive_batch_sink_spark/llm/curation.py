@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
@@ -228,4 +229,48 @@ def llm_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s") - 1) / 40).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(cum - len(string_split(text, ' ')) AS BIGINT) AS start_off,
+           CAST(FLOOR(CAST(cum - len(string_split(text, ' ')) AS DOUBLE)
+                      / 512) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang, text,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-slice sequence packing — how pretraining actually
+    fills context windows: documents are laid end-to-end in a
+    deterministic order and the token stream is cut every 512 tokens
+    (docs may straddle a cut; each doc reports its stream offset and
+    starting bin). One running-sum window per language shard — packing
+    is embarrassingly parallel across shards, so the global-window
+    bottleneck never appears: at 100 TB the shard key is (lang, shard_id
+    from a hash) and every shard packs independently."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(n_tok).over(w)
+    start = cum - n_tok
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        start.alias("start_off"),
+        F.floor(start / 512).cast("long").alias("bin_id"),
     )

@@ -231,3 +231,44 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
     )
+
+
+@query(
+    "win_count_distinct_over",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    """,
+)
+def win_count_distinct_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per window — a gap bridged: Spark rejects
+    DISTINCT aggregates over windows, and the naive
+    ``size(collect_set().over(w))`` workaround holds the whole set in
+    window state (O(distinct) memory per row). Instead: flag each
+    (user, event_type)'s first occurrence with one row_number window,
+    then running-sum the flags — two streaming window passes, constant
+    state, and the same trick both engines can express (the oracle runs
+    it verbatim)."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .withColumn(
+            "n_distinct_types",
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).over(w_run),
+        )
+        .select("event_id", "user_id", "n_distinct_types")
+    )
