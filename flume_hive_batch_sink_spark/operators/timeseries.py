@@ -191,3 +191,116 @@ def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             ROUND(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), ctx AS (
+      SELECT g.event_type, g.hr, a.v,
+             last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN a.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+               OVER (PARTITION BY g.event_type ORDER BY g.hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN a.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+               OVER (PARTITION BY g.event_type ORDER BY g.hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g
+      LEFT JOIN agg a ON a.event_type = g.event_type AND a.hr = g.hr
+    )
+    SELECT event_type, hr,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch(hr) - epoch(ph) AS DOUBLE)
+                        / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+           END AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM ctx
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid — the
+    time_bucket_gapfill + interpolate() pattern (complement of
+    ts_gapfill_ffill's locf): gap hours get the value lerped between the
+    neighboring observed buckets; leading/trailing gaps take the nearest
+    observed value. Four IGNORE NULLS window passes over the same
+    (event_type, hr) partitioning — one shuffle total. The lerp runs on
+    identically-rounded bucket averages with the identical double
+    formula in both engines, so results are bit-equal without a final
+    round."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+
+    joined = grid.join(
+        agg,
+        (grid.event_type == agg.event_type) & (grid.hr == agg.hr),
+        "left",
+    ).select(grid.event_type, grid.hr, agg.v)
+
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "event_type",
+        "hr",
+        v_interp.alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
