@@ -274,3 +274,92 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_off"),
         F.floor(start / 512).cast("long").alias("bin_id"),
     )
+
+
+_PIPELINE_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, lang, text
+      FROM documents WHERE n_chars BETWEEN 50 AND 5000
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM base GROUP BY md5(lower(trim(text)))
+    ), clean AS (
+      SELECT b.* FROM base b JOIN keepers k ON b.doc_id = k.doc_id
+    ), bench_grams AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+                    j -> md5(string_split(text,' ')[j] || ' ' ||
+                             string_split(text,' ')[j+1] || ' ' ||
+                             string_split(text,' ')[j+2] || ' ' ||
+                             string_split(text,' ')[j+3] || ' ' ||
+                             string_split(text,' ')[j+4]))) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ), flagged AS (
+      SELECT DISTINCT c.doc_id
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+                      j -> md5(string_split(text,' ')[j] || ' ' ||
+                               string_split(text,' ')[j+1] || ' ' ||
+                               string_split(text,' ')[j+2] || ' ' ||
+                               string_split(text,' ')[j+3] || ' ' ||
+                               string_split(text,' ')[j+4]))) AS g
+        FROM clean WHERE doc_id % 97 <> 0
+      ) c JOIN bench_grams b ON c.g = b.g
+    ), final AS (
+      SELECT cl.* FROM clean cl
+      WHERE cl.doc_id % 97 <> 0
+        AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = cl.doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM final GROUP BY lang
+"""
+
+
+@query("llm_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE declarative plan: length filter →
+    exact dedup (keep min doc_id per content hash) → benchmark
+    decontamination (drop the eval slice and anything sharing a 5-gram
+    with it) → per-language token-budget audit. Catalyst sees the whole
+    chain: the length filter pushes into the scan, the dedup is one
+    hash-agg + semi join on the content key, the eval-gram set stays a
+    broadcast semi join, and the final audit is a map-side-combined
+    rollup. This is the composite the single-purpose operators exist
+    for — at 100 TB it runs as ~4 shuffles of strictly-shrinking data."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("n_chars").between(50, 5000)).select(
+        "doc_id", "lang", "text"
+    )
+    keepers = base.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    clean = base.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    shingles = F.when(
+        F.size(F.split("text", " ")) >= 5,
+        F.expr(
+            "transform(sequence(1, size(split(text,' ')) - 4), j -> "
+            "md5(concat_ws(' ', split(text,' ')[j-1], split(text,' ')[j], "
+            "split(text,' ')[j+1], split(text,' ')[j+2], split(text,' ')[j+3])))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles).alias("g"))
+        .distinct()
+    )
+    train = clean.filter(F.col("doc_id") % 97 != 0)
+    flagged = (
+        train.select("doc_id", F.explode(shingles).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = train.join(flagged, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
