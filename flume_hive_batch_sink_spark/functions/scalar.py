@@ -361,3 +361,33 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s.getField("k") + 1).alias("key_plus_one"),
         s2.getField("a").alias("lo_field"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_mask,
+           o_orderkey | 4096 AS or_flag,
+           xor(o_orderkey, 1023) AS xor_k,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor masks, shifts, popcount — the bit
+    tricks hash partitioners and bloom/bitmap structures are built
+    from. All stay in codegen as single JVM instructions."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        k.bitwiseXOR(F.lit(1023)).alias("xor_k"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )

@@ -272,3 +272,38 @@ def win_count_distinct_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "n_distinct_types")
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame — the trailing-window analytic every
+    event pipeline needs (count/sum over the last hour per user). Spark
+    expresses interval ranges by ordering on the epoch-seconds cast and
+    bounding the frame in seconds — same frame semantics as SQL's RANGE
+    INTERVAL, peers included. Exact-decimal sums keep the frame totals
+    bit-identical across engines regardless of intra-frame order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
+        ).alias("sum_last_hour"),
+    )
