@@ -265,3 +265,56 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_after < len(frag_files)).alias("files_reduced"),
         (F.col("n_rows") == n_rows_src).alias("rows_conserved"),
     )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+      FROM events WHERE event_id % 2 = 0
+    ), v2 AS (
+      SELECT event_id, user_id, value, event_type
+      FROM events WHERE event_id % 2 = 1
+    ), merged AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT coalesce(event_type, '(legacy)') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM merged GROUP BY 1
+    """,
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest generations — the long-running
+    pipeline reality the reference's fixed Hive DDL sidesteps: an old
+    batch written without a column and a new batch written with it are
+    read back as ONE table via parquet mergeSchema, with the missing
+    column null-filled for legacy rows. The split is deterministic
+    (event_id parity) so the oracle reproduces the merged relation with
+    a NULL-padded union. At scale mergeSchema costs one footer read per
+    file — pin the unified schema explicitly once it stabilizes."""
+    import os as _os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    v1_dir = _os.path.join(base, "gen=1")
+    v2_dir = _os.path.join(base, "gen=2")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(v1_dir)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(v2_dir)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(v1_dir, v2_dir)
+    return merged.groupBy(
+        F.coalesce("event_type", F.lit("(legacy)")).alias("event_type")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
