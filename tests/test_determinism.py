@@ -38,6 +38,14 @@ RISKY = [
     "split_train_test",
     "ts_hourly_ohlc",
     "etl_merge_upsert",
+    "llm_domain_mix",
+    "llm_pack_sequences",
+    "llm_curation_pipeline",
+    "agg_approx_quantile",
+    "sketch_hll_merge",
+    "sketch_cms_counts",
+    "win_count_distinct_over",
+    "ts_interpolate",
 ]
 
 
