@@ -65,13 +65,39 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL++ values differ from exact by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (rsd 5%) — the scale path for
-    cardinality: single pass, fixed-size sketch, no expand."""
+    cardinality: single pass, fixed-size sketch, no expand.
+
+    Oracle design (same certificate pattern as operators/sketches.py):
+    HLL++ estimates are engine-specific, so the estimate itself cannot
+    hash-match DuckDB. Instead the result carries the exact distinct
+    count (oracle-reproducible) plus a boolean certifying the estimate
+    landed within 3×rsd of exact — the bound HLL++ holds with ≥99.7%
+    probability, and deterministically here because the sketch is a
+    pure order-independent function of the fixture data. At 100 TB only
+    the approx path runs; the exact column is the verifier."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("within_rsd"),
     )
 
 

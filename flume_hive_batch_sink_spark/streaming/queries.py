@@ -3,10 +3,12 @@
 Each registered callable starts a real streaming query (file-source
 replay of the events fixture), runs it with trigger(availableNow), and
 returns the materialized result so the driver can hash-compare it like
-any batch query. Keys whose results are batching-invariant (dedup,
-aggregation, stream-stream join, the hive sink) carry full SQL oracles;
-watermark/late-data behavior depends on micro-batch boundaries and gets
-the rows-only check plus assertions in tests/test_streaming.py.
+any batch query. Every key carries a full SQL oracle: batching-invariant
+results (dedup, aggregation, stream-stream join, the hive sink, the
+pass-through smoke) are directly batch-expressible, and the
+watermark/late-data key pins its micro-batch boundaries (one mtime-ordered
+chunk per batch) so the append-mode emission rule itself is replayed in
+SQL; tests/test_streaming.py asserts the late-drop counts besides.
 """
 
 from __future__ import annotations
@@ -62,12 +64,32 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
-@query("stream_watermark")  # rows-only: emission depends on batch boundaries
+@query(
+    "stream_watermark",
+    oracle="""
+    WITH chunked AS (
+      SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS chunk FROM events
+    ), wm AS (
+      SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+    )
+    SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+    FROM chunked, wm
+    WHERE chunk > 1
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics: the oldest quarter of events is replayed LAST,
     after newer chunks advanced the watermark past it, so its windows are
     dropped from append-mode output. Deterministic given the pinned file
-    order (tests assert the dropped-window counts)."""
+    order (one chunk per micro-batch, mtime-ordered), which makes the
+    result batch-expressible: append mode emits exactly the hour windows
+    whose end ≤ final watermark (global max ts − 10 min), counting only
+    the on-time chunks (2..4) — every chunk-1 row arrives after the
+    watermark passed its window and is dropped. The oracle replays that
+    rule in SQL; tests/test_streaming.py additionally asserts the
+    dropped-window counts."""
     s = harness.replay_chunks(spark, sf_dir, n_chunks=4, late_chunk=True)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -141,10 +163,15 @@ def stream_foreachbatch_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_rows"))
 
 
-@query("stream_rate_source_smoke")  # rows-only: harness infrastructure
+@query(
+    "stream_rate_source_smoke",
+    oracle="SELECT event_id, event_type FROM events",
+)
 def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic local stream source smoke: chunked file replay in ts
-    order, all rows accounted for (row count == table size)."""
+    order with no watermark or aggregation, so append mode passes every
+    row through exactly once — the output is the events projection
+    itself, batch-expressible regardless of micro-batch boundaries."""
     s = harness.replay_chunks(spark, sf_dir, n_chunks=3, late_chunk=False)
     out = harness.run_to_memory(
         s.select("event_id", "event_type"), _qname("replay_smoke"), "append", spark
