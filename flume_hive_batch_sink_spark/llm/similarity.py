@@ -66,8 +66,78 @@ _BLOCK = 1024
 # Block index cache: the block-grouped vector representation is the
 # "index build" half of a vector-search system — built once per dataset,
 # queried many times (the same split every ANN system makes: IVF/LSH
-# build vs. search). Keyed by the input's identity, not the query's k.
-_BLOCK_INDEX: dict[str, DataFrame] = {}
+# build vs. search). Keyed by the input's IDENTITY, not the raw path
+# string: the resolved key folds in the owning SparkSession's
+# applicationId (a stopped-and-recreated session must never be served a
+# dead cached plan) and the dataset's filesystem fingerprint (path +
+# mtime + size — rewritten data must rebuild, not serve stale blocks).
+# Bounded LRU: evicted entries are unpersist()ed so executor storage
+# stays flat no matter how many datasets flow through one session.
+
+
+class _BlockIndexCache:
+    CAP = 8  # distinct (dataset, structure) entries held persistent
+
+    def __init__(self) -> None:
+        from collections import OrderedDict
+
+        self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+    @staticmethod
+    def _fingerprint(cache_key: str) -> str:
+        """Dataset identity for path-like keys: path + mtime_ns + size of
+        the embeddings file (or the directory itself), so a rewrite under
+        the same path changes the key instead of serving stale blocks."""
+        import os
+
+        probe = os.path.join(cache_key, "embeddings.parquet")
+        target = probe if os.path.exists(probe) else cache_key
+        try:
+            st = os.stat(target)
+            return f"{cache_key}:{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            return cache_key
+
+    def _resolve(self, emb: DataFrame, cache_key: str, variant: str) -> tuple:
+        app_id = emb.sparkSession.sparkContext.applicationId
+        return (app_id, self._fingerprint(cache_key), variant)
+
+    def get(self, emb: DataFrame, cache_key: str, variant: str) -> DataFrame | None:
+        key = self._resolve(emb, cache_key, variant)
+        df = self._entries.get(key)
+        if df is not None:
+            self._entries.move_to_end(key)
+        return df
+
+    def put(self, emb: DataFrame, cache_key: str, variant: str, df: DataFrame) -> None:
+        key = self._resolve(emb, cache_key, variant)
+        self._entries[key] = df
+        self._entries.move_to_end(key)
+        # Entries from other (stopped) sessions are dead weight — drop first.
+        for k in [k for k in self._entries if k[0] != key[0]]:
+            self._drop(k)
+        # Then LRU-evict (oldest first) down to the cap, unpersisting.
+        while len(self._entries) > self.CAP:
+            self._drop(next(iter(self._entries)))
+
+    def _drop(self, key: tuple) -> None:
+        df = self._entries.pop(key, None)
+        if df is None:
+            return
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped — JVM state is gone anyway
+
+    def clear(self) -> None:
+        for k in list(self._entries):
+            self._drop(k)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+_BLOCK_INDEX = _BlockIndexCache()
 
 
 def block_index(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
@@ -76,8 +146,10 @@ def block_index(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
     One linear shuffle; with ``cache_key`` the result is cached so
     repeated top-k / kNN queries skip the build (index amortization).
     """
-    if cache_key is not None and cache_key in _BLOCK_INDEX:
-        return _BLOCK_INDEX[cache_key]
+    if cache_key is not None:
+        hit = _BLOCK_INDEX.get(emb, cache_key, "index")
+        if hit is not None:
+            return hit
     blocks = (
         emb.select(
             (F.col("vec_id") / _BLOCK).cast("int").alias("blk"),
@@ -89,7 +161,7 @@ def block_index(emb: DataFrame, cache_key: str | None = None) -> DataFrame:
     if cache_key is not None:
         blocks = blocks.cache()
         blocks.count()
-        _BLOCK_INDEX[cache_key] = blocks
+        _BLOCK_INDEX.put(emb, cache_key, "index", blocks)
     return blocks
 
 
@@ -110,18 +182,19 @@ def block_pairs(
     partitions. k and thresholds live in the kernel, not the structure,
     so all query shapes share one cache entry per mode.
     """
-    ck = None if cache_key is None else f"{cache_key}::{mode}"
-    if ck is not None and ck in _BLOCK_INDEX:
-        return _BLOCK_INDEX[ck]
+    if cache_key is not None:
+        hit = _BLOCK_INDEX.get(emb, cache_key, f"pairs::{mode}")
+        if hit is not None:
+            return hit
     blocks = block_index(emb, cache_key)
     a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
     cond = F.col("blk_a") <= F.col("blk_b") if mode == "tri" else F.lit(True)
     pairs = a.join(b, cond).repartition(F.col("blk_a"), F.col("blk_b"))
-    if ck is not None:
+    if cache_key is not None:
         pairs = pairs.cache()
         pairs.count()
-        _BLOCK_INDEX[ck] = pairs
+        _BLOCK_INDEX.put(emb, cache_key, f"pairs::{mode}", pairs)
     return pairs
 
 

@@ -148,3 +148,36 @@ def test_decontaminate_flags_planted_overlap(spark):
         flagged = curation.llm_decontaminate(spark, td).collect()
     ids = {r["doc_id"] for r in flagged}
     assert ids == {1}
+
+
+def test_block_index_cache_bounded_and_unpersists(spark):
+    """The block-structure LRU must hold executor storage flat: entries
+    beyond CAP are evicted with unpersist(), stale-path keys rebuild, and
+    repeated hits return the same cached plan."""
+    from flume_hive_batch_sink_spark.io import load
+    from flume_hive_batch_sink_spark.llm import similarity as sim
+
+    emb = load(spark, SF_DIR, "embeddings").limit(64)
+    cache = sim._BLOCK_INDEX
+    cache.clear()
+    assert len(cache) == 0
+
+    # A hit returns the identical cached object (no rebuild).
+    first = sim.block_index(emb, cache_key=SF_DIR)
+    again = sim.block_index(emb, cache_key=SF_DIR)
+    assert again is first
+
+    # Many distinct dataset keys: cache stays ≤ CAP and evicted entries
+    # are no longer persisted (storage flat).
+    for i in range(cache.CAP + 4):
+        sim.block_index(emb, cache_key=f"/nonexistent/ds_{i}")
+    assert len(cache) <= cache.CAP
+    assert not first.is_cached, "evicted entry should be unpersisted"
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # only bounded leftovers may remain persistent (cache entries + any
+    # session-level input caches) — the eviction keeps this O(CAP).
+    assert jmap.size() <= cache.CAP + 16
+
+    cache.clear()
+    assert len(cache) == 0
