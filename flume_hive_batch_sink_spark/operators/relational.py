@@ -505,10 +505,18 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     disabled for this query so the co-location (not a broadcast) is what
     eliminates the shuffle.
     """
+    import hashlib
     import shutil
     from urllib.parse import urlparse
 
-    ob, cb = "bkt_orders", "bkt_customer"
+    # sf-scoped table names: alternating scale factors in one session must
+    # not clobber each other's bucketed tables (basename for readability,
+    # path hash for uniqueness across dirs with the same basename).
+    tag = "{}_{}".format(
+        "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/"))),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:6],
+    )
+    ob, cb = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in (ob, cb):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -252,3 +252,16 @@ def test_partition_pruning_static_and_dynamic(spark):
     )
     dyn = plan(back.join(F.broadcast(dim), "dt").groupBy("event_type").count())
     assert "dynamicpruning" in dyn.lower()
+
+
+def test_bucketed_join_sf_scoped_tables(spark):
+    """Alternating scale factors in one session must not clobber each
+    other's bucketed tables: each sf_dir gets its own table names and the
+    second run at each sf still matches its own oracle row counts."""
+    from flume_hive_batch_sink_spark import registry
+    from oracle import compare
+
+    q = registry.QUERIES["join_bucketed_colocated"]
+    sql = registry.ORACLES["join_bucketed_colocated"]
+    for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.001"):
+        compare(q(spark, sf), sql, sf)
