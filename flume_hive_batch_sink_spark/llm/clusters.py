@@ -17,10 +17,13 @@ loop is capped defensively.
 AQE reuses the same partitioning round to round. The driver loop only
 ever sees a scalar per round (the converged? count); labels and edges
 stay distributed, and ``localCheckpoint`` truncates the growing lineage
-so round N's plan doesn't replan rounds 1..N-1. For planet-scale graphs
-swap the propagation body for the large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") — the
-round structure and this operator's contract stay identical.
+so round N's plan doesn't replan rounds 1..N-1. For deep graphs the
+operator hands off automatically: if propagation hasn't converged in
+``_PROPAGATION_ROUNDS``, the remaining work runs on alternating
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond" — ``_star_cc``), whose round count is O(log²)
+in component size regardless of diameter; ``llm_dup_clusters_star``
+exposes that path directly under the same closure oracle.
 """
 
 from __future__ import annotations
@@ -33,6 +36,91 @@ from flume_hive_batch_sink_spark.llm.dedup import llm_near_dedup_minhash
 from flume_hive_batch_sink_spark.registry import query
 
 _MAX_ROUNDS = 25
+# Min-label propagation needs O(component diameter) rounds; past this
+# many rounds the component is deep (chain-shaped, not a template
+# family) and the loop hands off to alternating large-star/small-star,
+# which converges in O(log²) rounds regardless of diameter.
+_PROPAGATION_ROUNDS = 8
+
+
+def _star_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the planet-scale formulation: each round is two groupBy-join passes
+    over the edge list and the number of rounds is O(log² n) in the
+    worst case (vs O(diameter) for label propagation), so million-node
+    duplicate chains converge in a dozen rounds instead of a million.
+
+    ``nodes``: (doc_id); ``edges``: (src, dst) in either orientation.
+    Returns (doc_id, cluster_rep) where cluster_rep is the component
+    min. Each round shuffles on the node id only — the same key both
+    star operations group on, so AQE reuses the exchange — and
+    ``localCheckpoint`` truncates lineage per round.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.col("src").cast("decimal(38,0)")),
+            F.sum(F.col("dst").cast("decimal(38,0)")),
+            # decimal accumulator: Σ of 2⁶³-range hashes overflows BIGINT
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    prev = None
+    for _ in range(_MAX_ROUNDS):
+        # large-star: connect every neighbor v > u to m = min(Γ(u) ∪ u)
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m_u = nbrs.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e = (
+            nbrs.join(m_u, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: orient edges large→small, connect u and all its
+        # smaller neighbors to their min
+        d = e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        m_small = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(m_small, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(
+                m_small.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star CC did not converge in {_MAX_ROUNDS} rounds")
+
+    # converged edge set is a star forest (node → component min)
+    roots = e.groupBy("src").agg(F.min("dst").alias("cluster_rep"))
+    return (
+        nodes.join(roots, nodes.doc_id == roots.src, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
 
 _CLUSTER_ORACLE = """
 WITH RECURSIVE tok AS (
@@ -88,7 +176,7 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decreases until the fixpoint: one scalar aggregate per round is a
     # complete convergence test (no label-vs-label join needed).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(_MAX_ROUNDS):
+    for _ in range(_PROPAGATION_ROUNDS):
         propagated = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "label")
@@ -104,8 +192,23 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     else:
-        raise RuntimeError(
-            f"label propagation did not converge in {_MAX_ROUNDS} rounds"
-        )
-
+        # Component diameter exceeds the propagation budget — the graph
+        # has deep chains, exactly the case the star algorithm handles
+        # in O(log²) rounds. Hand off instead of looping O(diameter).
+        return _star_cc(docs.select("doc_id"), pairs.selectExpr(
+            "doc_a AS src", "doc_b AS dst"
+        ))
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+@query("llm_dup_clusters_star", oracle=_CLUSTER_ORACLE)
+def llm_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster contract as ``llm_dup_clusters`` computed
+    with alternating large-star/small-star — the depth-independent path
+    a planet-scale corpus needs (propagation is O(diameter) rounds;
+    star is O(log²) regardless of chain depth). Verified against the
+    identical recursive-CTE closure oracle."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = llm_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    return _star_cc(docs.select("doc_id"), edges)

@@ -67,3 +67,41 @@ def test_session_count_monotone_in_gap(spark, ts, theta_small, delta):
         return sess.select("user_id", "sid").distinct().count()
 
     assert n_sessions(theta_small) >= n_sessions(theta_small + delta)
+
+
+def test_star_cc_converges_on_deep_path_graph(spark):
+    """A 100-node path graph has diameter 99 — min-label propagation
+    would need ~99 rounds, but alternating large-star/small-star must
+    converge inside the shared _MAX_ROUNDS cap and label every node
+    with the chain min (node 0)."""
+    from flume_hive_batch_sink_spark.llm.clusters import _star_cc
+
+    n = 100
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = (
+        spark.range(n - 1)
+        .selectExpr("id AS src", "id + 1 AS dst")
+    )
+    out = _star_cc(nodes, edges).collect()
+    assert len(out) == n
+    assert all(r["cluster_rep"] == 0 for r in out)
+
+
+def test_star_cc_matches_propagation_on_mixed_forest(spark):
+    """Star CC and the closure ground truth agree on a forest with a
+    deep chain, a triangle, and singletons."""
+    from flume_hive_batch_sink_spark.llm.clusters import _star_cc
+
+    # chain 10..29, triangle {40,41,42}, singletons 50..54
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(10, 30)) + [40, 41, 42] + list(range(50, 55))],
+        "doc_id BIGINT",
+    )
+    chain = [(i, i + 1) for i in range(10, 29)]
+    tri = [(40, 41), (41, 42), (42, 40)]
+    edges = spark.createDataFrame(chain + tri, "src BIGINT, dst BIGINT")
+    got = {r["doc_id"]: r["cluster_rep"] for r in _star_cc(nodes, edges).collect()}
+    want = {i: 10 for i in range(10, 30)}
+    want.update({40: 40, 41: 40, 42: 40})
+    want.update({i: i for i in range(50, 55)})
+    assert got == want
