@@ -5,19 +5,33 @@ The schema pattern for image/audio/video at 100 TB: an opaque
 dimensions), and an ``ArrayType(FloatType)`` embedding — processed with
 ``mapInPandas`` so each Arrow batch is decoded/transformed in bulk.
 
-No media codecs exist in this container, so the decode kernels are
-STUBS: ``decode_image``/``resample_audio``/``sample_frames`` raise
-NotImplementedError by design, and ``fake_feature_extract`` is the
-deterministic stand-in that keeps the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) real and tested.
+Two decode tiers exist:
 
-No binary fixture ships in testdata (FIXTURES.md), so the payload is
+- REAL codecs for the uncompressed formats a pure-Python parser can
+  own end-to-end: 24-bit BMP (manual encoder + strict manual parser —
+  magic, header offsets, 4-byte row padding, bottom-up row order) and
+  16-bit PCM WAV (manual RIFF encoder, stdlib ``wave`` decoder, plus an
+  integer-factor resampler). ``multimodal_decode_bmp`` /
+  ``multimodal_decode_wav`` / ``multimodal_resize_px`` run these inside
+  ``mapInPandas`` and are hash-verified: the payload bytes are a
+  deterministic function of vec_id, so pixel/sample checksums have
+  closed-form SQL oracles — a parser that mishandles padding, row
+  order, or sample width cannot match them.
+- STUBS for formats that genuinely need a native codec (PNG/JPEG,
+  non-PCM audio, MP4): those raise NotImplementedError by design, and
+  ``fake_feature_extract`` keeps the Spark-side plumbing (schema,
+  partitioning, UDF signature, Arrow batch shape) real and tested.
+
+No binary fixture ships in testdata (FIXTURES.md), so payloads are
 derived deterministically from vec_id — which is exactly what makes a
-full SQL oracle possible for the schema/plumbing query.
+full SQL oracle possible for every decode query.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,20 +97,107 @@ def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------------------------------------- decode kernels
+# ----------------------------------------------------------- real codecs
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode requires an image codec (PIL/opencv) — not in this
-    container. Cite: SURVEY.md §2.I multimodal_schema (stub mandated)."""
-    raise NotImplementedError("image codec not available in this environment")
+def encode_bmp(width: int, height: int) -> bytes:
+    """A REAL (openable-in-a-viewer) 24-bit uncompressed BMP with the
+    deterministic test pattern pixel(x, y) = (B=y, G=x, R=x+y) mod 256.
+    Rows are 4-byte padded and stored bottom-up per the format."""
+    row_bytes = (3 * width + 3) // 4 * 4
+    data_size = row_bytes * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((y % 256), (x % 256), ((x + y) % 256)))
+        row += b"\x00" * (row_bytes - len(row))
+        rows += row
+    return header + dib + bytes(rows)
 
 
-def resample_audio(payload: bytes, rate: int = 16_000) -> "object":
-    raise NotImplementedError("audio codec not available in this environment")
+def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Strict 24-bit BMP parser: validates the magic, header sizes, and
+    compression mode; strips per-row padding; un-reverses the bottom-up
+    row order. Returns (width, height, rows[y][x] = (B, G, R)). Formats
+    needing a native codec (PNG/JPEG) still raise — honestly stubbed."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed BMP is decodable without a native image codec"
+        )
+    _, file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    _, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if dib_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    if height <= 0 or width <= 0:
+        raise ValueError("top-down or degenerate BMP not produced by this encoder")
+    row_bytes = (3 * width + 3) // 4 * 4
+    if len(payload) < data_offset + row_bytes * height:
+        raise ValueError("truncated BMP payload")
+    rows: list[list[tuple[int, int, int]]] = []
+    for y in range(height):
+        # image row y is file row (height-1-y): bottom-up storage
+        off = data_offset + (height - 1 - y) * row_bytes
+        rows.append(
+            [
+                (payload[off + 3 * x], payload[off + 3 * x + 1], payload[off + 3 * x + 2])
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+def encode_wav(vec_id: int, n_samples: int, rate: int = 16_000) -> bytes:
+    """A REAL 16-bit PCM mono WAV (manual RIFF framing — the decoder is
+    the stdlib, so encode and decode are independent implementations).
+    sample[i] = ((vec_id·31 + i·17) mod 2048) − 1024."""
+    frames = b"".join(
+        struct.pack("<h", ((vec_id * 31 + i * 17) % 2048) - 1024)
+        for i in range(n_samples)
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(frames), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(frames),
+    )
+    return hdr + frames
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """PCM WAV decode through the stdlib ``wave`` reader: returns
+    (rate, n_samples, samples). Compressed audio still raises."""
+    if payload[:4] != b"RIFF" or len(payload) < 44:
+        raise NotImplementedError(
+            "only PCM WAV is decodable without a native audio codec"
+        )
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getcomptype() != "NONE" or w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    samples = [s[0] for s in struct.iter_unpack("<h", raw)]
+    return rate, n, samples
+
+
+def resample_audio(payload: bytes, factor: int = 2) -> tuple[int, list[int]]:
+    """Integer-factor decimation of a PCM WAV (every ``factor``-th
+    sample; the real preprocessing step before feature extraction).
+    Returns (new_rate, samples). Non-PCM payloads raise via decode_wav."""
+    rate, _, samples = decode_wav(payload)
+    return rate // factor, samples[::factor]
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> "object":
+    """Video containers (MP4/WebM) need a native demuxer — honestly
+    stubbed; the frame-sampling plumbing is exercised by
+    ``multimodal_frame_sample`` over block-framed payloads."""
     raise NotImplementedError("video codec not available in this environment")
 
 
