@@ -22,8 +22,11 @@ operator hands off automatically: if propagation hasn't converged in
 ``_PROPAGATION_ROUNDS``, the remaining work runs on alternating
 large-star/small-star (Kiveris et al., "Connected Components in
 MapReduce and Beyond" — ``_star_cc``), whose round count is O(log²)
-in component size regardless of diameter; ``llm_dup_clusters_star``
-exposes that path directly under the same closure oracle.
+in component size regardless of diameter. The handoff is seeded: each
+edge is contracted to its endpoints' propagated labels, so star starts
+on a graph already shrunk by the paid rounds instead of raw edges.
+``llm_dup_clusters_star`` exposes the star path directly under the
+same closure oracle.
 """
 
 from __future__ import annotations
@@ -194,10 +197,31 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # Component diameter exceeds the propagation budget — the graph
         # has deep chains, exactly the case the star algorithm handles
-        # in O(log²) rounds. Hand off instead of looping O(diameter).
-        return _star_cc(docs.select("doc_id"), pairs.selectExpr(
-            "doc_a AS src", "doc_b AS dst"
-        ))
+        # in O(log²) rounds. Seed it with the rounds already paid:
+        # contract every edge to its endpoints' current labels (label(u)
+        # is reachable from u, so contraction preserves components) and
+        # run star on the label graph, which is k hops smaller. Final
+        # rep(u) = star_rep(label(u)); the component min survives the
+        # contraction because label(u) ≤ u everywhere.
+        lsrc = labels.select(
+            F.col("doc_id").alias("src"), F.col("label").alias("lsrc")
+        )
+        ldst = labels.select(
+            F.col("doc_id").alias("dst"), F.col("label").alias("ldst")
+        )
+        contracted = (
+            edges.join(lsrc, "src")
+            .join(ldst, "dst")
+            .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        star = _star_cc(
+            labels.select(F.col("label").alias("doc_id")).distinct(), contracted
+        )
+        return labels.join(star, labels.label == star.doc_id).select(
+            labels.doc_id, "cluster_rep"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
