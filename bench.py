@@ -16,6 +16,14 @@ so the reader can see when the machine was noisy. Inputs are cached
 in-memory (SPARK_GRAFT_CACHE_INPUTS), the local twin of the baseline's
 warm OS page cache: the testdata parquet is single-row-group, so a cold
 Spark scan is one task regardless of cores.
+
+Protocol asymmetry, disclosed: BASELINE.md's DuckDB numbers are
+single warm second-run measurements, not medians — re-measuring the
+baseline under this median-of-N protocol is not possible here (the
+baseline is fixed by the driver), so the per-query ``spread`` field is
+published instead: when ``rel_spread`` is small the median ≈ any single
+warm run and the comparison is fair; when it is large, treat the gap as
+machine noise, not a plan difference.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -77,10 +78,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos LONG → TimestampType. Integer DIV, not float division:
-        # epoch-ns ≈ 1.7e18 exceeds double's 2^53 integer range, so
-        # `ts / 1000` silently rounds to the wrong microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The fixture generator has shipped `ts` two ways across rounds:
+        # parquet TIMESTAMP(NANOS) (read as nanos LONG under the legacy
+        # conf) and parquet timestamp[us] (read as TIMESTAMP_NTZ).
+        # Dispatch on the actual dtype so both generations load; either
+        # way the operators downstream see session-tz TimestampType
+        # (session tz pinned UTC ⇒ NTZ→TZ cast is wall-clock identity,
+        # matching the tz-naive DuckDB oracle).
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos LONG → TimestampType. Integer DIV, not float division:
+            # epoch-ns ≈ 1.7e18 exceeds double's 2^53 integer range, so
+            # `ts / 1000` silently rounds to the wrong microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -567,3 +567,168 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "nn_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+_KMEANS_ITERS = 5  # fixed Lloyd iterations — deterministic, no tol loop
+
+
+def _kmeans_centroids(emb: DataFrame, k: int, iters: int = _KMEANS_ITERS):
+    """Seeded distributed Lloyd's k-means over the embedding column;
+    returns the trained centroids as a row-normalized numpy (k, dim)
+    matrix on the driver.
+
+    Deterministic by construction: init = the stride subset of the
+    vectors themselves (same seed as ``llm_ann_ivf``), a FIXED number of
+    iterations, and every reduction is an exact per-dimension mean
+    (no sampling, no RNG). Dataflow per iteration is the textbook
+    scale-out: centroids are driver-side (k·dim doubles — KBs) and ship
+    to executors inside the Arrow kernel's closure; assignment is one
+    map-only ``mapInPandas`` pass (each batch computes an (batch × k)
+    GEMM and argmax); the update is a built-in groupBy mean over the
+    exploded (cid, dim, x) rows — partial-aggregated map-side, so what
+    shuffles is k·dim partial sums per task, not data. Driver memory
+    stays O(k·dim) — nothing data-sized is ever collected.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim_df = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+    dim = int(dim_df[0]["d"])
+    cent = np.array(
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .orderBy("vec_id")
+        .select(_as_double("embedding").alias("e"))
+        .toPandas()["e"]
+        .tolist(),
+        dtype=np.float64,
+    )[:k]
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    e_norm = emb.select("vec_id", _as_double("embedding").alias("e"))
+
+    for _ in range(iters):
+        c_mat = cent  # rebind for closure capture of THIS iteration
+
+        def assign(batches, c_mat=c_mat):
+            for pdf in batches:
+                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                cid = np.argmax(mat @ c_mat.T, axis=1)
+                yield pd.DataFrame({"cid": cid.astype(np.int32), "e": pdf["e"]})
+
+        assigned = e_norm.mapInPandas(assign, "cid INT, e ARRAY<DOUBLE>")
+        means = (
+            assigned.select("cid", F.posexplode("e").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty clusters keep their old centroid
+        sums = {}
+        for r in means:
+            sums.setdefault(r["cid"], np.zeros(dim))[r["j"]] = r["m"]
+        for cid, v in sums.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_cent[cid] = v / n
+        cent = new_cent
+    return cent
+
+
+@query(
+    "llm_ann_ivf_kmeans",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_queries,
+           true AS recall_ok
+    """,
+)
+def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED coarse quantizer — upgrades ``llm_ann_ivf``'s
+    stride-subset centroid list to seeded Lloyd's k-means (fixed
+    iterations, deterministic init), the production IVF build. Search is
+    identical: assign each vector to its nearest centroid (map-only,
+    centroids broadcast in the kernel closure), then top-1 within the
+    probed inverted list (shuffle on cid — Σ|cluster|² work instead of
+    n²).
+
+    Certificate oracle (operators/sketches.py pattern): k-means is
+    iterative and not SQL-expressible, so instead of replaying the
+    training the result certifies the *contract* — recall@1 vs the
+    exact blocked-GEMM top-1 (``blocked_knn_candidates``, itself
+    oracle-verified via llm_knn_label) must be ≥ 0.9, carried as a
+    boolean alongside the query count.
+
+    nprobe honesty: the fixture embeddings are ISOTROPIC (driver data
+    has no cluster structure beyond the ~5% dup tail — gen_sf.py
+    docstring), the worst case for IVF: a query's true NN is only
+    weakly correlated with its Voronoi cell, and measured recall@1 at
+    nprobe=1 is ~0.4. Hitting the 0.9 contract on such data needs
+    nprobe ≈ 0.8·k (measured: k=5 → nprobe 4 gives 0.938). On real
+    embedding corpora (clustered by construction) nprobe ≪ k achieves
+    the same recall — the dataflow below is identical, only the
+    constant changes; the certificate makes the trade measurable
+    instead of assumed."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    k = max(4, n_vec // 100)
+    nprobe = max(1, math.ceil(0.8 * k))
+    cent = _kmeans_centroids(emb, k)
+
+    def assign(batches, c_mat=cent, p=nprobe):
+        for pdf in batches:
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T
+            cid = np.argmax(sims, axis=1)
+            probes = np.argsort(-sims, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": cid.astype(np.int32),
+                 "probes": [r.astype(np.int32).tolist() for r in probes],
+                 "e": [m.tolist() for m in mat]}
+            )
+
+    assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
+        assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>, e ARRAY<DOUBLE>"
+    )
+    # query role probes its nprobe nearest lists; database role is
+    # indexed once under its single nearest centroid
+    a = assigned.select(
+        "vec_id", F.col("e").alias("ea"), F.explode("probes").alias("cid")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("nn_id"), F.col("e").alias("eb"), "cid"
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.col("cos_ivf").desc(), F.col("nn_id"))
+    ivf_top1 = (
+        a.join(b, "cid")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .withColumn("cos_ivf", dot(F.col("ea"), F.col("eb")))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cos_ivf")
+    )
+
+    we = Window.partitionBy("vec_a").orderBy(F.col("cos_raw").desc(), F.col("vec_b"))
+    exact_top1 = (
+        blocked_knn_candidates(emb, 1, cache_key=sf_dir)
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_a").alias("vec_id"), F.col("cos_raw").alias("cos_exact"))
+    )
+
+    # hit = IVF found a neighbor as good as the exact top-1 (cos tie-safe);
+    # queries with no IVF candidate (singleton cluster) count as misses.
+    hits = exact_top1.join(ivf_top1, "vec_id", "left").select(
+        (F.col("cos_ivf") >= F.col("cos_exact") - 1e-9).alias("hit")
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) >= 0.9 * F.count("*")).alias(
+            "recall_ok"
+        ),
+    )

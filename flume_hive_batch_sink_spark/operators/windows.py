@@ -100,6 +100,66 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_ntile_approx",
+    oracle="""
+    SELECT CAST(q AS BIGINT) AS quartile,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+           true AS size_ok
+    FROM (SELECT unnest(range(1, 5)) AS q)
+    """,
+)
+def win_ntile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe quartile bucketing — the 100 TB replacement for
+    ``win_ntile``'s single-partition global WindowExec. Two linear
+    passes, no global sort: (1) ``approx_percentile`` computes the three
+    quartile cut points (a mergeable GK digest — one partial-agg
+    shuffle of digest-sized state); (2) each row is bucketed by
+    comparing against the broadcast boundaries, a map-only stage.
+
+    Certificate oracle (same pattern as operators/sketches.py): exact
+    ntile row order can't survive approximation, but the *contract* —
+    four buckets that partition all rows into near-equal sizes — is
+    checkable: the result carries one row per quartile with the total
+    row count (must equal count(customer): buckets partition, nothing
+    dropped or duplicated) and a size_ok bit asserting |size − n/4| ≤
+    1% of n + digest rank error. The plan is asserted WindowExec-free in
+    tests/test_plans.py."""
+    c = load(spark, sf_dir, "customer")
+    acc = 10_000  # GK accuracy: rank error ≤ n/acc
+    bounds = c.agg(
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], acc).alias("b")
+    )
+    bucketed = c.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + (F.col("c_acctbal") > F.col("b")[0]).cast("int")
+            + (F.col("c_acctbal") > F.col("b")[1]).cast("int")
+            + (F.col("c_acctbal") > F.col("b")[2]).cast("int")
+        ).alias("quartile")
+    )
+    sizes = bucketed.groupBy("quartile").agg(F.count("*").alias("n"))
+    totals = sizes.agg(
+        F.sum("n").alias("n_total"), F.max("n").alias("n_max"), F.min("n").alias("n_min")
+    )
+    # tolerance: 1% of n for boundary-tie mass + n/acc digest rank error,
+    # floored for tiny fixtures
+    return (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("quartile").cast("long").alias("quartile"),
+            F.col("n_total").cast("long").alias("n_total"),
+            (
+                F.abs(F.col("n") - F.col("n_total") / 4)
+                <= F.greatest(
+                    F.lit(8.0),
+                    F.col("n_total") * (0.01 + 1.0 / acc),
+                )
+            ).alias("size_ok"),
+        )
+    )
+
+
+@query(
     "win_running_sum",
     oracle="""
     SELECT event_id,

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
 from flume_hive_batch_sink_spark.streaming import harness, sink
 
@@ -216,3 +217,82 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emitted = harness.run_to_memory(out, _qname("custom_state"), "update", spark)
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_text_ingest_hive",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS dt, CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Flume text pipeline as ONE streaming composite:
+    delimited-text chunk files (the ``serialize_text_line`` wire format
+    — what the reference drains from its channel) are consumed by a
+    file-source STREAM, parsed with a declared schema, and landed in the
+    dt/hr-partitioned Hive-style table through the exactly-once
+    foreachBatch sink (idempotent epoch overwrite + done markers —
+    streaming/sink.py), then the table is re-read and its per-partition
+    profile compared against the batch source of truth. Closes the loop
+    the batch keys cover piecewise: serialize → file stream → parse →
+    partitioned write → finalize → read-back.
+
+    The text staging happens in ts-ordered chunks with pinned mtimes +
+    maxFilesPerTrigger, so multiple real micro-batches (not one
+    availableNow mega-batch) hit the epoch-overwrite path; the final
+    table state is batching-invariant, which is what the oracle checks.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_text_ingest_")
+    src = os.path.join(base, "text_src")
+    out_dir = os.path.join(base, "events_tbl")
+    os.makedirs(src, exist_ok=True)
+
+    # stage: serialize to TSV chunk files in ts order (4 micro-batches)
+    from pyspark.sql.window import Window as W
+
+    chunked = ev.withColumn(
+        "chunk", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    ).select(
+        "chunk",
+        F.col("event_id").cast("string").alias("c0"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("c1"),
+        F.col("user_id").cast("string").alias("c2"),
+        F.col("event_type").alias("c3"),
+        F.round("value", 4).cast("string").alias("c4"),
+    )
+    import time as _time
+
+    now = _time.time()
+    for c in range(1, 5):
+        path = os.path.join(src, f"chunk_{c:03d}.tsv")
+        pdf = chunked.filter(F.col("chunk") == c).drop("chunk").toPandas()
+        pdf.to_csv(path, sep="\t", header=False, index=False)
+        os.utime(path, (now + c, now + c))
+
+    parsed_schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    )
+    s = (
+        spark.readStream.schema(parsed_schema)
+        .option("sep", "\t")
+        .option("maxFilesPerTrigger", 1)
+        .csv(src)
+    )
+    q = sink.start_hive_sink(s, out_dir)
+    q.awaitTermination()
+    sink.finalize_partitions(spark, out_dir)
+    table = sink.read_sink_table(spark, out_dir)
+    return table.groupBy(
+        F.col("dt").cast("string").alias("dt"), F.col("hr").cast("long").alias("hr")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -87,6 +87,34 @@ def test_star_cc_converges_on_deep_path_graph(spark):
     assert all(r["cluster_rep"] == 0 for r in out)
 
 
+def test_dup_clusters_handoff_matches_propagation(spark, monkeypatch):
+    """Force the propagation→star handoff inside ``llm_dup_clusters``
+    (llm/clusters.py) by shrinking the propagation budget to a single
+    round: the fixture's duplicate clusters need >1 round to converge,
+    so the for-else fires and the seeded star path (contract edges to
+    propagated labels → ``_star_cc`` → re-join) produces the final
+    labels. Its output must be identical to the fully-converged
+    propagation answer — the handoff is an optimization, never a
+    semantic change."""
+    from flume_hive_batch_sink_spark.llm import clusters
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in clusters.llm_dup_clusters(spark, sf_dir).collect()
+    }
+    # sanity: the fixture actually has non-singleton clusters, otherwise
+    # a broken handoff that returns identity labels would pass
+    assert any(doc != rep for doc, rep in want.items())
+
+    monkeypatch.setattr(clusters, "_PROPAGATION_ROUNDS", 1)
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in clusters.llm_dup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_star_cc_matches_propagation_on_mixed_forest(spark):
     """Star CC and the closure ground truth agree on a forest with a
     deep chain, a triangle, and singletons."""
