@@ -486,6 +486,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed-table build ledger: (applicationId, table, table) → source
+# fingerprint. Lets join_bucketed_colocated skip the saveAsTable pair when
+# this session already built them from identical source files.
+_BUCKETED_READY: dict[tuple, str] = {}
+
+
 @query(
     "join_bucketed_colocated",
     oracle="""
@@ -504,6 +510,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning once at write time, never at read time. Broadcast is
     disabled for this query so the co-location (not a broadcast) is what
     eliminates the shuffle.
+
+    Pay-once is enforced ACROSS calls, not just within one: the write is
+    skipped when this session already built the bucketed tables from the
+    same source files (fingerprint = path + mtime + size of both source
+    parquet files — a rewritten fixture rebuilds, a repeat query reuses;
+    tests/test_plans.py asserts call 2 leaves the table files untouched).
     """
     import hashlib
     import shutil
@@ -517,27 +529,47 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashlib.md5(sf_dir.encode()).hexdigest()[:6],
     )
     ob, cb = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for tbl in (ob, cb):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        # a fresh session's in-memory catalog forgets managed tables but
-        # their directories survive on disk; clear them or saveAsTable
-        # fails with LOCATION_ALREADY_EXISTS
-        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
-    (
-        load(spark, sf_dir, "orders")
-        .write.bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .saveAsTable(ob)
+
+    def _src_fingerprint() -> str:
+        parts = []
+        for t in ("orders", "customer"):
+            try:
+                st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+                parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+            except OSError:
+                parts.append(f"{t}:missing")
+        return "|".join(parts)
+
+    fp = _src_fingerprint()
+    cache_key = (spark.sparkContext.applicationId, ob, cb)
+    already_built = (
+        _BUCKETED_READY.get(cache_key) == fp
+        and spark.catalog.tableExists(ob)
+        and spark.catalog.tableExists(cb)
     )
-    (
-        load(spark, sf_dir, "customer")
-        .write.bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .mode("overwrite")
-        .saveAsTable(cb)
-    )
+    if not already_built:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for tbl in (ob, cb):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # a fresh session's in-memory catalog forgets managed tables but
+            # their directories survive on disk; clear them or saveAsTable
+            # fails with LOCATION_ALREADY_EXISTS
+            shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(ob)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(cb)
+        )
+        _BUCKETED_READY[cache_key] = fp
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

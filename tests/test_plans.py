@@ -140,6 +140,46 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in p.split("HashAggregate")[0]
 
 
+def test_bucketed_join_pays_write_once_across_calls(spark):
+    """Second invocation at the same sf must reuse the session's bucketed
+    tables instead of rewriting them: the table directories' file listing
+    (names + mtimes) is identical before and after call 2 — zero write
+    jobs launched — and the result still matches the oracle."""
+    import os
+    from urllib.parse import urlparse
+
+    from oracle import compare
+
+    q = registry.QUERIES["join_bucketed_colocated"]
+    sql = registry.ORACLES["join_bucketed_colocated"]
+    q(spark, SF_DIR).collect()  # build (or reuse from an earlier test)
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def listing():
+        state = []
+        for d in sorted(os.listdir(warehouse)):
+            if d.startswith("bkt_") and SF_DIR.split("sf")[-1].replace(".", "_") in d:
+                full = os.path.join(warehouse, d)
+                for f in sorted(os.listdir(full)):
+                    st = os.stat(os.path.join(full, f))
+                    state.append((d, f, st.st_mtime_ns, st.st_size))
+        return state
+
+    before = listing()
+    assert before, "bucketed table dirs missing after first call"
+    compare(q(spark, SF_DIR), sql, SF_DIR)  # call 2: correct AND no rewrite
+    assert listing() == before
+
+
+def test_ntile_approx_has_no_window(spark):
+    """The scale-safe quartile operator must compile WITHOUT any
+    WindowExec (its reason to exist: win_ntile's exact global ntile
+    serializes the table through one partition)."""
+    p = plan(registry.QUERIES["win_ntile_approx"](spark, SF_DIR))
+    assert "Window" not in p
+
+
 @pytest.mark.parametrize(
     "key",
     [
