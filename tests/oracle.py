@@ -71,14 +71,73 @@ def _canon_cell(v):
     return str(v)
 
 
-def canonicalize(pdf) -> tuple[list[str], list[tuple]]:
+def _canon_column(s) -> "np.ndarray":
+    """Vectorized per-column canonicalization producing the exact same
+    strings as ``_canon_cell`` for that column's dtype. Column-wise numpy
+    formatting replaces the per-cell Python loop — at sf1 a single key
+    can return 6M rows × 10 cols, and 60M ``_canon_cell`` calls per side
+    turned the parity sweep into hours of pure canonicalization."""
+    import pandas as pd
+
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt) and not pd.api.types.is_object_dtype(dt):
+        return np.where(s.to_numpy(dtype=bool), "True", "False").astype(object)
+    if pd.api.types.is_integer_dtype(dt):
+        if s.isna().any():  # nullable Int64 with missing → per-cell path
+            return s.astype(object).map(_canon_cell).to_numpy(dtype=object)
+        return s.to_numpy(dtype=np.int64).astype(str).astype(object)
+    if pd.api.types.is_float_dtype(dt):
+        # float64 first so float32 columns canonicalize through the same
+        # double repr as _canon_cell's float(v)
+        v = s.to_numpy(dtype=np.float64)
+        out = v.astype(str).astype(object)  # numpy uses shortest-repr, == repr()
+        out[v == 0.0] = "0.0"  # -0.0 folds in (NaN == 0.0 is False)
+        out[np.isnan(v)] = "∅"
+        return out
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_localize(None)  # keep wall clock, like replace(tzinfo=None)
+        v = s.to_numpy(dtype="datetime64[us]")
+        out = np.char.replace(v.astype(str), "T", " ").astype(object)
+        out[pd.isna(v)] = "∅"
+        return out
+    # strings, lists/arrays, decimals, dates, bytes → exact legacy behavior
+    return s.map(_canon_cell).to_numpy(dtype=object)
+
+
+def _canon_frame(pdf) -> tuple[list[str], "object"]:
+    """Canonical string DataFrame with sorted columns (rows unsorted)."""
+    import pandas as pd
+
     cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    rows = sorted(
-        tuple(_canon_cell(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
+    canon = pd.DataFrame(
+        {c: _canon_column(pdf[c]) for c in cols},
+        index=range(len(pdf)),
+        columns=cols,
     )
-    return cols, rows
+    return cols, canon
+
+
+def _row_hashes(canon) -> "np.ndarray":
+    """Sorted per-row uint64 hashes of the canonical frame — the
+    multiset-equality fast path (C-speed vs sorting object strings)."""
+    from pandas.util import hash_pandas_object
+
+    return np.sort(hash_pandas_object(canon, index=False).to_numpy())
+
+
+def canonicalize(pdf) -> tuple[list[str], "np.ndarray"]:
+    """Sorted-column, sorted-row canonical string matrix (rows × cols).
+
+    Row order is a deterministic multi-key sort over the canonical
+    strings; both sides sort identically, so multiset equality ⇔ matrix
+    equality (ties across all columns are identical rows, so tie order
+    can't differ)."""
+    cols, canon = _canon_frame(pdf)
+    if not cols or len(pdf) == 0:
+        return cols, np.empty((len(pdf), len(cols)), dtype=object)
+    canon = canon.sort_values(cols, kind="stable", ignore_index=True)
+    return cols, canon.to_numpy(dtype=object)
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
@@ -90,21 +149,31 @@ def compare(spark_df, oracle_sql: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
     finally:
         con.close()
 
-    s_cols, s_rows = canonicalize(spark_pdf)
-    d_cols, d_rows = canonicalize(duck_pdf)
+    s_cols, s_canon = _canon_frame(spark_pdf)
+    d_cols, d_canon = _canon_frame(duck_pdf)
 
     assert s_cols == d_cols, f"column mismatch: spark={s_cols} duckdb={d_cols}"
-    assert len(s_rows) == len(d_rows), (
-        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}\n"
-        f"spark head: {s_rows[:3]}\nduckdb head: {d_rows[:3]}"
+    assert len(s_canon) == len(d_canon), (
+        f"row count mismatch: spark={len(s_canon)} duckdb={len(d_canon)}\n"
+        f"spark head: {s_canon.head(3).to_numpy().tolist()}\n"
+        f"duckdb head: {d_canon.head(3).to_numpy().tolist()}"
     )
-    if s_rows != d_rows:
-        diffs = [
-            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
-        ]
-        head = "\n".join(
-            f"  row {i}:\n    spark : {a}\n    duckdb: {b}" for i, a, b in diffs[:5]
-        )
-        raise AssertionError(
-            f"value mismatch in {len(diffs)}/{len(s_rows)} rows (sorted):\n{head}"
-        )
+    if len(s_canon) == 0 or np.array_equal(_row_hashes(s_canon), _row_hashes(d_canon)):
+        return  # multisets equal (vectorized hash fast path)
+
+    # mismatch: pay the full sorted-matrix diff for a debuggable message
+    s_rows = s_canon.sort_values(s_cols, kind="stable", ignore_index=True).to_numpy(
+        dtype=object
+    )
+    d_rows = d_canon.sort_values(d_cols, kind="stable", ignore_index=True).to_numpy(
+        dtype=object
+    )
+    bad = np.nonzero((s_rows != d_rows).any(axis=1))[0]
+    head = "\n".join(
+        f"  row {i}:\n    spark : {tuple(s_rows[i])}\n"
+        f"    duckdb: {tuple(d_rows[i])}"
+        for i in bad[:5]
+    )
+    raise AssertionError(
+        f"value mismatch in {len(bad)}/{len(s_rows)} rows (sorted):\n{head}"
+    )
