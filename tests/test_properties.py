@@ -87,6 +87,48 @@ def test_star_cc_converges_on_deep_path_graph(spark):
     assert all(r["cluster_rep"] == 0 for r in out)
 
 
+@given(
+    floats=st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=False),
+            st.just(-0.0),
+            st.just(0.0),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    ints=st.integers(min_value=-(2**62), max_value=2**62),
+    texts=st.text(max_size=12),
+)
+@SETTINGS
+def test_vectorized_canon_matches_percell(floats, ints, texts):
+    """The column-wise canonicalization (oracle.py:_canon_column) must
+    produce byte-identical strings to the legacy per-cell function for
+    every dtype the oracle compare sees — floats (incl. NaN/−0.0),
+    ints, strings, datetimes, lists. No Spark needed: pure pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from oracle import _canon_cell, _canon_column
+
+    n = len(floats)
+    pdf = pd.DataFrame(
+        {
+            "f": pd.Series(floats, dtype="float64"),
+            "i": pd.Series([ints + k for k in range(n)], dtype="int64"),
+            "s": pd.Series([texts] * n),
+            "t": pd.Series(
+                np.arange(n).astype("datetime64[s]").astype("datetime64[us]")
+            ),
+            "l": pd.Series([[float(k), ints] for k in range(n)]),
+        }
+    )
+    for c in pdf.columns:
+        got = list(_canon_column(pdf[c]))
+        want = [_canon_cell(v) for v in pdf[c]]
+        assert got == want, (c, got, want)
+
+
 def test_dup_clusters_handoff_matches_propagation(spark, monkeypatch):
     """Force the propagation→star handoff inside ``llm_dup_clusters``
     (llm/clusters.py) by shrinking the propagation budget to a single
