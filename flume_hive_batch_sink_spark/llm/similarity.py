@@ -695,23 +695,46 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
         assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>, e ARRAY<DOUBLE>"
     )
-    # query role probes its nprobe nearest lists; database role is
-    # indexed once under its single nearest centroid
-    a = assigned.select(
-        "vec_id", F.col("e").alias("ea"), F.explode("probes").alias("cid")
+    # Query role probes its nprobe nearest lists; database role is
+    # indexed once under its single nearest centroid. The per-list
+    # search is an Arrow GEMM kernel grouped by cid — one (queries ×
+    # list) matmul per inverted list — NOT a row-level pair join: at
+    # sf1 the pair form is 3·10⁸ rows each dragging two 64-double
+    # arrays through the shuffle, while here what shuffles is one row
+    # per (query, probed list) and the dot products happen in BLAS.
+    q_side = assigned.select(
+        F.explode("probes").alias("cid"),
+        F.lit(1).alias("role"),
+        "vec_id",
+        "e",
     )
-    b = assigned.select(
-        F.col("vec_id").alias("nn_id"), F.col("e").alias("eb"), "cid"
+    d_side = assigned.select(
+        "cid", F.lit(0).alias("role"), F.col("vec_id"), "e"
     )
-    wn = Window.partitionBy("vec_id").orderBy(F.col("cos_ivf").desc(), F.col("nn_id"))
-    ivf_top1 = (
-        a.join(b, "cid")
-        .filter(F.col("vec_id") != F.col("nn_id"))
-        .withColumn("cos_ivf", dot(F.col("ea"), F.col("eb")))
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cos_ivf")
+    both = q_side.unionByName(d_side)
+
+    def list_search(pdf):
+        db = pdf[pdf["role"] == 0]
+        qs = pdf[pdf["role"] == 1]
+        if db.empty or qs.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cos_ivf": pd.Series(dtype="float64")}
+            )
+        dmat = np.array(db["e"].tolist(), dtype=np.float64)
+        dids = db["vec_id"].to_numpy()
+        qmat = np.array(qs["e"].tolist(), dtype=np.float64)
+        qids = qs["vec_id"].to_numpy()
+        sims = qmat @ dmat.T
+        sims[qids[:, None] == dids[None, :]] = -np.inf  # self
+        best = sims.max(axis=1)
+        keep = best > -np.inf
+        return pd.DataFrame({"vec_id": qids[keep], "cos_ivf": best[keep]})
+
+    per_list = both.groupBy("cid").applyInPandas(
+        list_search, "vec_id BIGINT, cos_ivf DOUBLE"
     )
+    ivf_top1 = per_list.groupBy("vec_id").agg(F.max("cos_ivf").alias("cos_ivf"))
 
     we = Window.partitionBy("vec_a").orderBy(F.col("cos_raw").desc(), F.col("vec_b"))
     exact_top1 = (
