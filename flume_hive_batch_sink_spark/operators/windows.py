@@ -349,15 +349,19 @@ def win_count_distinct_over(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval RANGE frame — the trailing-window analytic every
     event pipeline needs (count/sum over the last hour per user). Spark
-    expresses interval ranges by ordering on the epoch-seconds cast and
-    bounding the frame in seconds — same frame semantics as SQL's RANGE
-    INTERVAL, peers included. Exact-decimal sums keep the frame totals
-    bit-identical across engines regardless of intra-frame order."""
+    expresses interval ranges by ordering on epoch MICROseconds and
+    bounding the frame in µs — same frame semantics as SQL's RANGE
+    INTERVAL, peers included, at the timestamps' full precision (an
+    epoch-seconds cast truncates sub-second digits, silently widening
+    the frame for events 3600–3601 s apart — caught at sf1 where
+    mean inter-arrival is ~2.6 s). Exact-decimal sums keep the frame
+    totals bit-identical across engines regardless of intra-frame
+    order."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -50,8 +50,8 @@ def _money(col: F.Column, scale: int = 2) -> F.Column:
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE)
              AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(24,6))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(24,6))), 2) AS DOUBLE)
              AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_qty,
@@ -73,7 +73,10 @@ def pipeline_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal sums divided by count — no float-order drift. The
     3-factor charge product casts at scale 6 (its true decimal width for
     2-decimal inputs); at scale 4 the cast lands on .00005 tie
-    boundaries where Spark (HALF_UP) and DuckDB disagree."""
+    boundaries where Spark (HALF_UP) and DuckDB disagree. The charge SUM
+    is rounded to scale 2 while still decimal: at sf1 the scale-6 sum
+    × 10⁶ exceeds 2⁵³, where decimal→double conversion is 1-ulp
+    engine-dependent; at scale 2 the cast is exact in both engines."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
     qty, price, disc, tax = (
         F.col("l_quantity"),
@@ -88,7 +91,9 @@ def pipeline_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(qty).cast("double").alias("sum_qty"),
             _dsum(price).cast("double").alias("sum_base_price"),
             _dsum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum((price * (1 - disc) * (1 + tax)).cast("decimal(24,6)"))
+            F.round(
+                F.sum((price * (1 - disc) * (1 + tax)).cast("decimal(24,6)")), 2
+            )
             .cast("double")
             .alias("sum_charge"),
             F.round(_dsum(qty).cast("double") / cnt, 4).alias("avg_qty"),
