@@ -444,11 +444,15 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     WITH d AS (
-      SELECT event_type, ROUND(sum(value), 2) AS type_total
+      SELECT event_type,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS type_total
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, count(*) AS n,
-           ROUND(sum(e.value + d.type_total), 2) AS blended
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))
+                          + CAST(d.type_total AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS blended
     FROM events e JOIN d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
@@ -467,8 +471,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit version works on any Spark and under any partitioning.
     """
     ev = load(spark, sf_dir, "events")
+    # Decimal accumulation end-to-end: at sf1 these are 200k-term sums
+    # of ~1e12 magnitude, where double summation is partial-sum-order
+    # dependent past the rounding decimals; decimal sums are exact and
+    # the final scale-2 → double cast is exact in both engines.
     dim = ev.groupBy("event_type").agg(
-        F.round(F.sum("value"), 2).alias("type_total")
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("type_total")
     )
     n_salt = 16
     fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
@@ -482,7 +492,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value") + F.col("type_total")), 2).alias("blended"),
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(18,4)")
+                + F.col("type_total").cast("decimal(18,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("blended"),
     )
 
 
