@@ -69,6 +69,43 @@ def test_session_count_monotone_in_gap(spark, ts, theta_small, delta):
     assert n_sessions(theta_small) >= n_sessions(theta_small + delta)
 
 
+def test_time_range_frame_respects_microseconds(spark):
+    """The trailing-hour RANGE frame must bound at full timestamp
+    precision: an event 3600.000001 s before the current row is OUTSIDE
+    the hour, and one exactly 3600 s before is INSIDE (RANGE INTERVAL
+    semantics, inclusive bound). An epoch-seconds ordering truncates
+    both to 3600 and wrongly includes the first — the sf1 regression
+    behind the win_time_range fix (operators/windows.py)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window as W
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base - dt.timedelta(seconds=3600, microseconds=1), 1.0),
+        (2, 1, base - dt.timedelta(seconds=3600), 1.0),
+        (3, 1, base, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in df.select(
+            "event_id", F.count("*").over(w).alias("n")
+        ).collect()
+    }
+    # event 3 sees itself + event 2 (exactly 1h ago, inclusive) but NOT
+    # event 1 (1h + 1µs ago) — a seconds-granularity frame returns 3
+    # there; event 2 sees itself + event 1 (1 µs apart)
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
 def test_star_cc_converges_on_deep_path_graph(spark):
     """A 100-node path graph has diameter 99 — min-label propagation
     would need ~99 rounds, but alternating large-star/small-star must
