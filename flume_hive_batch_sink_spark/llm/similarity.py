@@ -755,3 +755,98 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ok"
         ),
     )
+
+
+_SEMDEDUP_THRESHOLD = 0.95
+
+_SEMDEDUP_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % {_IVF_STRIDE} = 0
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT ab.vec_id
+      FROM assign aa
+      JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+      JOIN embeddings ea ON ea.vec_id = aa.vec_id
+      JOIN embeddings eb ON eb.vec_id = ab.vec_id
+      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[]))
+            >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+"""
+
+
+@query("llm_semdedup", oracle=_SEMDEDUP_ORACLE)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup — the SemDeDup pattern (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): coarse-quantize every embedding to its
+    nearest centroid, then search for semantic duplicates (cosine ≥
+    0.95) only WITHIN each cluster, dropping all but the lowest-id
+    member of each duplicate neighborhood. The k-way cluster prune cuts
+    pairwise work from O(n²) to Σ|cluster|² ≈ n²/k — the trick that
+    made semantic dedup tractable on web-scale corpora.
+
+    Spark shape: centroids are the deterministic stride subset
+    (oracle-reproducible, like llm_ann_ivf; swap in _kmeans_centroids
+    for trained ones — identical dataflow), assignment is a map-only
+    Arrow kernel with the centroid matrix in the closure, and the
+    in-cluster search is one applyInPandas GEMM per cluster — nothing
+    quadratic in n crosses the wire, only (vec_id, keep) comes back.
+    Keep rule: drop b iff some cluster-mate a<b has cos(a,b) ≥ 0.95 —
+    deterministic, join-free to express, and exactly replayed by the
+    oracle's in-cluster pair join."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_pdf = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .orderBy("vec_id")
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .toPandas()
+    )
+    cent_ids = cent_pdf["vec_id"].to_numpy()
+    cent = np.array(cent_pdf["e"].tolist(), dtype=np.float64)
+    cent_n = np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def assign(batches, c_mat=cent, c_n=cent_n, c_ids=cent_ids):
+        for pdf in batches:
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = (mat / norms) @ (c_mat / c_n).T
+            # argmax with cid tiebreak == oracle's ORDER BY cos DESC, cid
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": c_ids[best], "e": pdf["e"]}
+            )
+
+    assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
+        assign, "vec_id BIGINT, cid BIGINT, e ARRAY<DOUBLE>"
+    )
+
+    def in_cluster_dedup(pdf):
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        dup = ((sims >= _SEMDEDUP_THRESHOLD) & (ids[:, None] < ids[None, :])).any(
+            axis=0
+        )
+        return pd.DataFrame({"vec_id": ids, "keep": ~dup})
+
+    return assigned.groupBy("cid").applyInPandas(
+        in_cluster_dedup, "vec_id BIGINT, keep BOOLEAN"
+    )
