@@ -46,6 +46,8 @@ RISKY = [
     "sketch_cms_counts",
     "win_count_distinct_over",
     "ts_interpolate",
+    "llm_semdedup",
+    "win_ntile_approx",
 ]
 
 
