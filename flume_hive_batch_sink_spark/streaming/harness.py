@@ -13,7 +13,9 @@ The reference consumes an unbounded Flume channel; locally we replay the
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 
@@ -21,6 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flume_hive_batch_sink_spark.io import load
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that reclaims itself at interpreter exit — streaming
+    sources/checkpoints must outlive the operator call (results are
+    consumed lazily), so eager cleanup is unsafe, but leaking temp
+    trees across a long parity sweep is not acceptable either."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
@@ -37,7 +49,7 @@ def _events_as_us_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> Non
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (single batch under
     availableNow)."""
-    staged = os.path.join(tempfile.mkdtemp(prefix="stream_src_"), "events")
+    staged = os.path.join(_tmpdir("stream_src_"), "events")
     _events_as_us_parquet(spark, sf_dir, staged)
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
 
@@ -60,7 +72,7 @@ def replay_chunks(
         __import__("pyspark").sql.window.Window.orderBy("ts", "event_id")
     )
     with_chunk = ev.withColumn("chunk", chunk)
-    base = tempfile.mkdtemp(prefix="stream_replay_")
+    base = _tmpdir("stream_replay_")
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
 
@@ -95,7 +107,7 @@ def run_to_memory(
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory sink and return the result table."""
-    chk = tempfile.mkdtemp(prefix=f"chk_{name}_")
+    chk = _tmpdir(f"chk_{name}_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

@@ -153,7 +153,7 @@ def stream_foreachbatch_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference replacement (BASELINE.json:7): stream → foreachBatch
     → Hive-partitioned table with idempotent epoch writes + done markers.
     The re-read table's per-partition counts must equal the source."""
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_hive_"), "events_tbl")
+    out_dir = os.path.join(harness._tmpdir("stream_hive_"), "events_tbl")
     s = harness.events_stream(spark, sf_dir)
     q = sink.start_hive_sink(s, out_dir)
     q.awaitTermination()
@@ -241,38 +241,59 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch keys cover piecewise: serialize → file stream → parse →
     partitioned write → finalize → read-back.
 
-    The text staging happens in ts-ordered chunks with pinned mtimes +
-    maxFilesPerTrigger, so multiple real micro-batches (not one
-    availableNow mega-batch) hit the epoch-overwrite path; the final
-    table state is batching-invariant, which is what the oracle checks.
+    The text staging happens EXECUTOR-SIDE: chunk id is a deterministic
+    ``pmod(event_id, 4)`` bucket (the final table state is
+    batching-invariant, so chunk membership is arbitrary — no global
+    ordering needed) and ``write.partitionBy("chunk").csv`` serializes
+    every chunk in one distributed pass; nothing is collected to the
+    driver and no WindowExec appears anywhere in the plan. Pinned
+    mtimes + maxFilesPerTrigger=1 still deliver one real micro-batch
+    per chunk file, so multiple epochs hit the epoch-overwrite path.
+    Timestamps are serialized with microseconds ('.SSSSSS'), so the
+    landed table equals the source at full timestamp precision.
     """
+    import glob
+    import shutil
+    import time as _time
+
     ev = load(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="stream_text_ingest_")
+    # the returned DataFrame lazily reads out_dir, so the tree must
+    # outlive this call — _tmpdir reclaims it at interpreter exit
+    base = harness._tmpdir("stream_text_ingest_")
     src = os.path.join(base, "text_src")
+    staging = os.path.join(base, "text_staging")
     out_dir = os.path.join(base, "events_tbl")
     os.makedirs(src, exist_ok=True)
 
-    # stage: serialize to TSV chunk files in ts order (4 micro-batches)
-    from pyspark.sql.window import Window as W
-
-    chunked = ev.withColumn(
-        "chunk", F.ntile(4).over(W.orderBy("ts", "event_id"))
-    ).select(
-        "chunk",
-        F.col("event_id").cast("string").alias("c0"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("c1"),
-        F.col("user_id").cast("string").alias("c2"),
-        F.col("event_type").alias("c3"),
-        F.round("value", 4).cast("string").alias("c4"),
+    (
+        ev.select(
+            F.pmod("event_id", F.lit(4)).alias("chunk"),
+            F.col("event_id").cast("string").alias("c0"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c1"),
+            F.col("user_id").cast("string").alias("c2"),
+            F.col("event_type").alias("c3"),
+            F.round("value", 4).cast("string").alias("c4"),
+        )
+        # one file per chunk at this scale; at 100 TB drop the
+        # repartition and let every task roll its own chunk files —
+        # each extra file is just one more micro-batch
+        .repartition("chunk")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .partitionBy("chunk")
+        .csv(staging)
     )
-    import time as _time
-
+    # arrival order: move chunk files into the source dir with strictly
+    # increasing mtimes (the file source lists oldest-first)
     now = _time.time()
-    for c in range(1, 5):
-        path = os.path.join(src, f"chunk_{c:03d}.tsv")
-        pdf = chunked.filter(F.col("chunk") == c).drop("chunk").toPandas()
-        pdf.to_csv(path, sep="\t", header=False, index=False)
-        os.utime(path, (now + c, now + c))
+    for c in range(4):
+        parts = sorted(glob.glob(os.path.join(staging, f"chunk={c}", "part-*")))
+        for i, p in enumerate(parts):
+            dst = os.path.join(src, f"chunk_{c:03d}_{i:03d}.tsv")
+            shutil.move(p, dst)
+            t = now + c + i / 100.0
+            os.utime(dst, (t, t))
+    shutil.rmtree(staging, ignore_errors=True)
 
     parsed_schema = (
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
@@ -281,6 +302,7 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         spark.readStream.schema(parsed_schema)
         .option("sep", "\t")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .option("maxFilesPerTrigger", 1)
         .csv(src)
     )

@@ -12,6 +12,8 @@ idempotent epoch writes = exactly-once table state (SURVEY.md §3.3).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +59,8 @@ def start_hive_sink(
 ) -> StreamingQuery:
     """writeStream.foreachBatch(hive-partitioned write), availableNow."""
     chk = checkpoint_dir or tempfile.mkdtemp(prefix="chk_hive_sink_")
+    if checkpoint_dir is None:
+        atexit.register(shutil.rmtree, chk, ignore_errors=True)
     return (
         stream_df.writeStream.foreachBatch(
             lambda df, eid: write_epoch(df, eid, out_dir)

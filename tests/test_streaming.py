@@ -126,3 +126,120 @@ def test_hive_sink_recovers_from_partial_epoch(spark):
     assert table.select("event_id").distinct().count() == len(pdf), (
         "no duplicated events after epoch replay"
     )
+
+
+def test_text_ingest_hive_crash_recovery(spark):
+    """Kill the TEXT-ingest stream mid-epoch and restart from the same
+    checkpoint: the finalized table must equal the uninterrupted run.
+    Same crash protocol as test_hive_sink_recovers_from_partial_epoch
+    (partial epoch written, never checkpoint-committed), but through
+    stream_text_ingest_hive's full wire path — TSV serialization,
+    schema'd csv file stream with µs timestampFormat, epoch-keyed
+    overwrite, done-marker finalize."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="text_recovery_")
+    hold = os.path.join(base, "hold")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "tbl")
+    chk = os.path.join(base, "chk")
+    os.makedirs(src)
+
+    # stage all 4 TSV chunks executor-side (the operator's staging shape)
+    (
+        ev.select(
+            F.pmod("event_id", F.lit(4)).alias("chunk"),
+            F.col("event_id").cast("string").alias("c0"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c1"),
+            F.col("user_id").cast("string").alias("c2"),
+            F.col("event_type").alias("c3"),
+            F.round("value", 4).cast("string").alias("c4"),
+        )
+        .repartition("chunk")
+        .write.option("sep", "\t")
+        .partitionBy("chunk")
+        .csv(hold)
+    )
+    import glob
+    import shutil
+    import time
+
+    chunk_files = []
+    for c in range(4):
+        (part,) = glob.glob(os.path.join(hold, f"chunk={c}", "part-*"))
+        chunk_files.append(os.path.join(base, f"chunk_{c:03d}.tsv"))
+        shutil.move(part, chunk_files[-1])
+
+    now = time.time()
+
+    def stage(i: int) -> None:
+        dst = os.path.join(src, os.path.basename(chunk_files[i]))
+        shutil.copy(chunk_files[i], dst)
+        os.utime(dst, (now + i, now + i))
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    )
+
+    def run_sink() -> None:
+        s = (
+            spark.readStream.schema(schema)
+            .option("sep", "\t")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .option("maxFilesPerTrigger", 1)
+            .csv(src)
+        )
+        q = (
+            s.writeStream.foreachBatch(
+                lambda df, eid: sink.write_epoch(df, eid, out)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0)
+    stage(1)
+    run_sink()
+
+    # crash mid-epoch 2: half the chunk's rows land, no checkpoint commit
+    chunk2 = (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(chunk_files[2])
+    )
+    partial = chunk2.limit(chunk2.count() // 2)
+    sink.write_epoch(partial, 2, out)
+
+    stage(2)
+    stage(3)
+    run_sink()
+    markers = sink.finalize_partitions(spark, out)
+    assert markers, "expected _DONE markers after finalize"
+
+    table = sink.read_sink_table(spark, out)
+    total = ev.count()
+    assert table.count() == total, "row count after recovery"
+    assert table.select("event_id").distinct().count() == total
+    # per-partition profile equals the batch source of truth
+    got = {
+        (r["dt"], r["hr"]): r["n"]
+        for r in table.groupBy("dt", "hr").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        (r["dt"], r["hr"]): r["n"]
+        for r in ev.select(
+            F.date_format("ts", "yyyyMMdd").alias("dt"),
+            F.hour("ts").alias("hr"),
+        )
+        .groupBy("dt", "hr")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(str(k[0]), int(k[1])): v for k, v in got.items()} == {
+        (str(k[0]), int(k[1])): v for k, v in want.items()
+    }
+    shutil.rmtree(base, ignore_errors=True)
