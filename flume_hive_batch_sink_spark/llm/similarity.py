@@ -778,8 +778,8 @@ _SEMDEDUP_ORACLE = f"""
       JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
       JOIN embeddings ea ON ea.vec_id = aa.vec_id
       JOIN embeddings eb ON eb.vec_id = ab.vec_id
-      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                   CAST(eb.embedding AS DOUBLE[]))
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 9)
             >= {_SEMDEDUP_THRESHOLD}
     )
     SELECT e.vec_id, (d.vec_id IS NULL) AS keep
@@ -841,7 +841,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(pdf["e"].tolist(), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
+        # round before the threshold compare, matching the oracle's
+        # round(..., 9): a 1-ulp GEMM-vs-DuckDB divergence on a
+        # borderline pair must not flip a keep bit (repo convention:
+        # round on BOTH sides)
+        sims = np.round(mat @ mat.T, 9)
         dup = ((sims >= _SEMDEDUP_THRESHOLD) & (ids[:, None] < ids[None, :])).any(
             axis=0
         )
@@ -849,4 +853,129 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cid").applyInPandas(
         in_cluster_dedup, "vec_id BIGINT, keep BOOLEAN"
+    )
+
+
+# The trained-quantizer SemDeDup uses a LOWER threshold than the stride
+# key on purpose: the synthetic embeddings have no ≥0.95 pairs (max
+# pairwise cosine ≈ 0.51 — llm_embed_dup docstring), so a 0.95 variant
+# would certify recall over an empty dup set. 0.4 gives a real dup
+# population to measure recall against.
+_SEMDEDUP_KMEANS_T = 0.4
+
+
+@query(
+    "llm_semdedup_kmeans",
+    oracle=f"""
+    WITH dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {_SEMDEDUP_KMEANS_T}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           (SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_true_dups,
+           true AS precision_ok,
+           true AS recall_ok
+    """,
+)
+def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the TRAINED coarse quantizer — promotes
+    ``_kmeans_centroids`` from ``llm_ann_ivf_kmeans`` to the semantic
+    dedup path (the production configuration; ``llm_semdedup`` keeps
+    the stride quantizer as the SQL-oracle-replayable variant).
+
+    Same multiprobe honesty as ``llm_ann_ivf_kmeans``: the fixture
+    embeddings are isotropic (worst case for cluster-scoped search), so
+    the query side probes its nprobe≈0.8k nearest lists while the
+    database side is indexed once under its top-1 centroid — on real
+    clustered corpora nprobe ≪ k with identical dataflow.
+
+    Certificate oracle (k-means is iterative, not SQL-replayable): the
+    all-pairs ground-truth dup set (every vec with a lower-id partner at
+    cosine ≥ 0.4 — DuckDB computes it directly) must be recovered with
+    recall ≥ 0.9, and every flagged vec must be a true dup (precision
+    exactly 1 — each candidate is exactly verified in-kernel). Both
+    booleans plus the true-dup count ride in the single result row.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    k = max(4, n_vec // 100)
+    nprobe = max(1, math.ceil(0.8 * k))
+    cent = _kmeans_centroids(emb, k)
+
+    def assign(batches, c_mat=cent, p=nprobe):
+        for pdf in batches:
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T
+            cid = np.argmax(sims, axis=1)
+            probes = np.argsort(-sims, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cid": cid.astype(np.int32),
+                    "probes": [r.astype(np.int32).tolist() for r in probes],
+                    "e": [m.tolist() for m in mat],
+                }
+            )
+
+    assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
+        assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>, e ARRAY<DOUBLE>"
+    )
+    q_side = assigned.select(
+        F.explode("probes").alias("cid"), F.lit(1).alias("role"), "vec_id", "e"
+    )
+    d_side = assigned.select("cid", F.lit(0).alias("role"), "vec_id", "e")
+    both = q_side.unionByName(d_side)
+
+    # single-arg signature on purpose: applyInPandas dispatches a
+    # (key, pdf) call form when the callable takes two parameters
+    def list_dups(pdf):
+        t = _SEMDEDUP_KMEANS_T
+        db = pdf[pdf["role"] == 0]
+        qs = pdf[pdf["role"] == 1]
+        if db.empty or qs.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        dmat = np.array(db["e"].tolist(), dtype=np.float64)
+        dids = db["vec_id"].to_numpy()
+        qmat = np.array(qs["e"].tolist(), dtype=np.float64)
+        qids = qs["vec_id"].to_numpy()
+        sims = qmat @ dmat.T
+        # drop q iff some LOWER-id database vector in a probed list is
+        # within the semantic-dup radius (the SemDeDup keep rule)
+        hit = ((sims >= t) & (dids[None, :] < qids[:, None])).any(axis=1)
+        return pd.DataFrame({"vec_id": qids[hit]})
+
+    flagged = (
+        both.groupBy("cid")
+        .applyInPandas(list_dups, "vec_id BIGINT")
+        .distinct()
+        .withColumn("f", F.lit(1))
+    )
+    true_dups = (
+        blocked_threshold_pairs(emb, _SEMDEDUP_KMEANS_T, cache_key=sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    merged = true_dups.join(flagged, "vec_id", "full")
+    n_true = F.coalesce(F.sum("t"), F.lit(0))
+    n_hit = F.coalesce(
+        F.sum(F.when((F.col("t") == 1) & (F.col("f") == 1), 1)), F.lit(0)
+    )
+    n_false = F.coalesce(
+        F.sum(F.when(F.col("t").isNull() & (F.col("f") == 1), 1)), F.lit(0)
+    )
+    return merged.agg(
+        F.lit(n_vec).cast("long").alias("n_vecs"),
+        n_true.cast("long").alias("n_true_dups"),
+        (n_false == 0).alias("precision_ok"),
+        (n_hit >= 0.9 * n_true).alias("recall_ok"),
     )

@@ -47,6 +47,8 @@ RISKY = [
     "win_count_distinct_over",
     "ts_interpolate",
     "llm_semdedup",
+    "llm_semdedup_kmeans",
+    "llm_ann_ivf_kmeans",
     "win_ntile_approx",
 ]
 
