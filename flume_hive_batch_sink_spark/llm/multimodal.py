@@ -7,17 +7,20 @@ dimensions), and an ``ArrayType(FloatType)`` embedding — processed with
 
 Two decode tiers exist:
 
-- REAL codecs for the uncompressed formats a pure-Python parser can
-  own end-to-end: 24-bit BMP (manual encoder + strict manual parser —
-  magic, header offsets, 4-byte row padding, bottom-up row order) and
-  16-bit PCM WAV (manual RIFF encoder, stdlib ``wave`` decoder, plus an
-  integer-factor resampler). ``multimodal_decode_bmp`` /
-  ``multimodal_decode_wav`` / ``multimodal_resize_px`` run these inside
-  ``mapInPandas`` and are hash-verified: the payload bytes are a
-  deterministic function of vec_id, so pixel/sample checksums have
-  closed-form SQL oracles — a parser that mishandles padding, row
-  order, or sample width cannot match them.
-- STUBS for formats that genuinely need a native codec (PNG/JPEG,
+- REAL codecs for the formats a pure-Python parser can own
+  end-to-end: 24-bit BMP (manual encoder + strict manual parser —
+  magic, header offsets, 4-byte row padding, bottom-up row order),
+  8-bit RGB PNG (manual encoder cycling all five scanline filters +
+  strict parser on stdlib ``zlib``: chunk CRCs, IHDR validation,
+  Sub/Up/Average/Paeth unfiltering), and 16-bit PCM WAV (manual RIFF
+  encoder, stdlib ``wave`` decoder, plus an integer-factor
+  resampler). ``multimodal_decode_image`` / ``multimodal_decode_wav``
+  / ``multimodal_resize_px`` run these inside ``mapInPandas`` over
+  payloads GENERATED executor-side from vec_id, and are hash-verified:
+  the pixel/sample values are analytic in vec_id, so the DuckDB oracle
+  replays per-pixel checksums exactly — a parser that mishandles
+  padding, row order, a PNG filter type, or sample width cannot match.
+- STUBS for formats that genuinely need a native codec (JPEG,
   non-PCM audio, MP4): those raise NotImplementedError by design, and
   ``fake_feature_extract`` keeps the Spark-side plumbing (schema,
   partitioning, UDF signature, Arrow batch shape) real and tested.
@@ -121,14 +124,23 @@ def encode_bmp(width: int, height: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Image decode dispatch on the magic bytes: BMP and PNG have REAL
+    pure-Python parsers; formats needing a native codec (JPEG, …) raise.
+    Returns (width, height, rows[y][x] = (R, G, B)) for every format."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only BMP and PNG are decodable without a native image codec"
+    )
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Strict 24-bit BMP parser: validates the magic, header sizes, and
     compression mode; strips per-row padding; un-reverses the bottom-up
-    row order. Returns (width, height, rows[y][x] = (B, G, R)). Formats
-    needing a native codec (PNG/JPEG) still raise — honestly stubbed."""
-    if payload[:2] != b"BM":
-        raise NotImplementedError(
-            "only uncompressed BMP is decodable without a native image codec"
-        )
+    row order; reorders the on-disk BGR triples to the (R, G, B)
+    contract of ``decode_image``."""
     _, file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
     dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
     _, bpp, compression = struct.unpack_from("<HHI", payload, 26)
@@ -145,7 +157,163 @@ def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, in
         off = data_offset + (height - 1 - y) * row_bytes
         rows.append(
             [
-                (payload[off + 3 * x], payload[off + 3 * x + 1], payload[off + 3 * x + 2])
+                (payload[off + 3 * x + 2], payload[off + 3 * x + 1], payload[off + 3 * x])
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §6.6 — public RFC 2083)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """A REAL (openable-in-a-viewer) 8-bit RGB PNG built on stdlib
+    ``zlib``: IHDR + single IDAT + IEND with per-chunk CRCs, same test
+    pattern as ``encode_bmp`` (R=x+y, G=x, B=y mod 256). Scanlines
+    cycle through ALL FIVE filter types (y % 5), so a decoder that
+    mishandles Sub/Up/Average/Paeth reconstruction cannot match the
+    pixel oracle."""
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(bpp * width)
+    for y in range(height):
+        line = bytes(
+            b
+            for x in range(width)
+            for b in (((x + y) % 256), x % 256, y % 256)
+        )
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            raw += line
+        elif f == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(line))
+            )
+        elif f == 2:  # Up
+            raw += bytes((line[i] - prior[i]) % 256 for i in range(len(line)))
+        elif f == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prior[i]) // 2) % 256
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                % 256
+                for i in range(len(line))
+            )
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Strict 8-bit RGB PNG parser on stdlib ``zlib``: walks the chunk
+    stream verifying lengths and CRCs, validates IHDR (bit depth 8,
+    color type 2, no interlace), inflates the concatenated IDATs, and
+    reverses all five scanline filters. Returns
+    (width, height, rows[y][x] = (R, G, B))."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = bpp * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows: list[list[tuple[int, int, int]]] = []
+    prior = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) % 256
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) % 256
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prior = bytes(line)
+        rows.append(
+            [
+                (line[3 * x], line[3 * x + 1], line[3 * x + 2])
                 for x in range(width)
             ]
         )
@@ -356,4 +524,217 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.mapInPandas(
         resize_kernel,
         "vec_id BIGINT, new_width INT, new_height INT, n_src_bytes BIGINT",
+    )
+
+
+# ------------------------------------------- real-codec media dataflow
+
+_MEDIA_BOX = 8  # box-fit target for the pixel-level resize
+
+
+def media_dims(vec_id: int) -> tuple[int, int]:
+    """Deterministic small image dimensions per vec_id (≤16×13 keeps
+    every pattern byte below the mod-256 wrap and the per-pixel oracle
+    replay cheap)."""
+    return 4 + vec_id % 13, 3 + (vec_id * 7) % 11
+
+
+def _gen_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side media fixture generator: real BMP (vec_id%3==0),
+    real PNG (==1), real 16-bit PCM WAV (==2) payloads synthesized from
+    vec_id inside the Arrow batch — the fixture itself scales out; no
+    driver staging."""
+    for pdf in batches:
+        fmts, payloads = [], []
+        for vid in pdf["vec_id"]:
+            vid = int(vid)
+            m = vid % 3
+            if m == 2:
+                fmts.append("wav")
+                payloads.append(encode_wav(vid, 64 + vid % 64))
+            else:
+                w, h = media_dims(vid)
+                fmts.append("bmp" if m == 0 else "png")
+                payloads.append(encode_bmp(w, h) if m == 0 else encode_png(w, h))
+        yield pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "fmt": fmts, "payload": payloads}
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str, kind: str = "all") -> DataFrame:
+    """Real-codec media table; ``kind`` prunes the vec_id partition
+    BEFORE generation (the predicate sits under the kernel, so skipped
+    rows are never encoded)."""
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    if kind == "image":
+        ids = ids.filter(F.col("vec_id") % 3 < 2)
+    elif kind == "audio":
+        ids = ids.filter(F.col("vec_id") % 3 == 2)
+    return ids.mapInPandas(_gen_media, "vec_id BIGINT, fmt STRING, payload BINARY")
+
+
+@query(
+    "multimodal_decode_image",
+    oracle="""
+    WITH img AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+             CAST(4 + vec_id % 13 AS BIGINT) AS w,
+             CAST(3 + (vec_id * 7) % 11 AS BIGINT) AS h
+      FROM embeddings WHERE vec_id % 3 < 2
+    )
+    SELECT i.vec_id, i.fmt,
+           CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+           CAST(i.w * i.h AS BIGINT) AS n_px,
+           CAST(SUM(3 * x.x + 4 * y.y) AS BIGINT) AS csum,
+           CAST(SUM((y.y * i.w + x.x) * (x.x + y.y)) AS BIGINT) AS wsum
+    FROM img i,
+         LATERAL (SELECT unnest(range(i.w)) AS x) x,
+         LATERAL (SELECT unnest(range(i.h)) AS y) y
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through ``mapInPandas``: executor-generated BMP
+    and PNG payloads parsed by the pure-Python codecs, then per-pixel
+    checksums. The oracle replays the checksums from the analytic test
+    pattern (R=x+y, G=x, B=y): ``csum`` = Σ(R+2G+3B) catches channel
+    swaps, ``wsum`` = Σ(y·w+x)·R pins the exact row/column layout — a
+    parser that flips BMP's bottom-up rows or botches a PNG filter
+    type cannot hash-match. PNG rows exercise all five scanline
+    filters (encode cycles them per row)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for vid, fmt, payload in zip(pdf["vec_id"], pdf["fmt"], pdf["payload"]):
+                w, h, rows = decode_image(bytes(payload))
+                csum = wsum = 0
+                for y, row in enumerate(rows):
+                    for x, (r, g, b) in enumerate(row):
+                        csum += r + 2 * g + 3 * b
+                        wsum += (y * w + x) * r
+                recs.append((int(vid), fmt, w, h, w * h, csum, wsum))
+            if recs:
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "vec_id", "fmt", "width", "height", "n_px", "csum", "wsum",
+                    ],
+                )
+
+    return media_table(spark, sf_dir, kind="image").mapInPandas(
+        kernel,
+        "vec_id BIGINT, fmt STRING, width INT, height INT, "
+        "n_px BIGINT, csum BIGINT, wsum BIGINT",
+    )
+
+
+@query(
+    "multimodal_resize_px",
+    oracle=f"""
+    WITH img AS (
+      SELECT vec_id,
+             CAST(4 + vec_id % 13 AS BIGINT) AS w,
+             CAST(3 + (vec_id * 7) % 11 AS BIGINT) AS h
+      FROM embeddings WHERE vec_id % 3 < 2
+    ), dims AS (
+      SELECT vec_id, w, h,
+             w * {_MEDIA_BOX} // greatest(w, h) AS nw,
+             h * {_MEDIA_BOX} // greatest(w, h) AS nh
+      FROM img
+    )
+    SELECT d.vec_id,
+           CAST(d.nw AS INT) AS new_width, CAST(d.nh AS INT) AS new_height,
+           CAST(SUM(3 * (x.x * d.w // d.nw) + 4 * (y.y * d.h // d.nh))
+                AS BIGINT) AS csum
+    FROM dims d,
+         LATERAL (SELECT unnest(range(d.nw)) AS x) x,
+         LATERAL (SELECT unnest(range(d.nh)) AS y) y
+    GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_resize_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-level resize of real decoded images (BMP + PNG):
+    nearest-neighbor box-fit into {_MEDIA_BOX}×{_MEDIA_BOX} preserving
+    aspect, then a checksum over the RESAMPLED pixels. The oracle
+    recomputes the same nearest-neighbor source mapping
+    (src = dst·src_dim // dst_dim) over the analytic pattern, so both
+    the decode and the resampling arithmetic are value-pinned."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                w, h, rows = decode_image(bytes(payload))
+                longest = max(w, h)
+                nw = w * _MEDIA_BOX // longest
+                nh = h * _MEDIA_BOX // longest
+                csum = 0
+                for yy in range(nh):
+                    src_row = rows[yy * h // nh]
+                    for xx in range(nw):
+                        r, g, b = src_row[xx * w // nw]
+                        csum += r + 2 * g + 3 * b
+                recs.append((int(vid), nw, nh, csum))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["vec_id", "new_width", "new_height", "csum"]
+                )
+
+    return media_table(spark, sf_dir, kind="image").mapInPandas(
+        kernel, "vec_id BIGINT, new_width INT, new_height INT, csum BIGINT"
+    )
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH wav AS (
+      SELECT vec_id, CAST(64 + vec_id % 64 AS BIGINT) AS n
+      FROM embeddings WHERE vec_id % 3 = 2
+    )
+    SELECT w.vec_id,
+           16000 AS rate, CAST(w.n AS INT) AS n_samples,
+           CAST(SUM(((w.vec_id * 31 + i.i * 17) % 2048) - 1024) AS BIGINT)
+             AS sum_samples,
+           8000 AS new_rate,
+           CAST(SUM(CASE WHEN i.i % 2 = 0
+                    THEN ((w.vec_id * 31 + i.i * 17) % 2048) - 1024 END)
+                AS BIGINT) AS sum_resampled
+    FROM wav w, LATERAL (SELECT unnest(range(w.n)) AS i) i
+    GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode + integer-factor resample through
+    ``mapInPandas``: RIFF payloads generated executor-side, decoded by
+    the stdlib ``wave`` reader, decimated 2×. The oracle replays the
+    analytic sample formula over a generated series — a decoder that
+    misreads sample width, frame count, or decimation phase cannot
+    match the sums."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+                raw = bytes(payload)
+                rate, n, samples = decode_wav(raw)
+                new_rate, resampled = resample_audio(raw, factor=2)
+                recs.append(
+                    (int(vid), rate, n, sum(samples), new_rate, sum(resampled))
+                )
+            if recs:
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "vec_id", "rate", "n_samples",
+                        "sum_samples", "new_rate", "sum_resampled",
+                    ],
+                )
+
+    return media_table(spark, sf_dir, kind="audio").mapInPandas(
+        kernel,
+        "vec_id BIGINT, rate INT, n_samples INT, "
+        "sum_samples BIGINT, new_rate INT, sum_resampled BIGINT",
     )

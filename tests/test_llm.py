@@ -52,11 +52,36 @@ def test_multimodal_codec_stubs_raise(spark):
     from flume_hive_batch_sink_spark.llm import multimodal
 
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")  # truncated signature
     with pytest.raises(NotImplementedError):
         multimodal.resample_audio(b"RIFF")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00\x00")
+
+
+def test_png_bmp_roundtrip_all_filters(spark):
+    """encode→decode must reproduce the exact test pattern for both real
+    codecs; heights ≥ 5 exercise every PNG scanline filter (the encoder
+    cycles them per row), and the BMP path crosses 4-byte row padding
+    boundaries (widths not ≡ 0 mod 4). Tampering a byte must trip the
+    PNG chunk CRC."""
+    from flume_hive_batch_sink_spark.llm import multimodal as mm
+
+    for w, h in [(7, 11), (4, 3), (16, 13), (1, 6), (5, 1)]:
+        pw, ph, prows = mm.decode_png(mm.encode_png(w, h))
+        bw, bh, brows = mm.decode_image(mm.encode_bmp(w, h))
+        assert (pw, ph) == (bw, bh) == (w, h)
+        assert prows == brows
+        for y in range(h):
+            for x in range(w):
+                assert prows[y][x] == ((x + y) % 256, x % 256, y % 256)
+
+    tampered = bytearray(mm.encode_png(7, 11))
+    tampered[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(tampered))
 
 
 def test_multimodal_fake_features_deterministic(spark):
