@@ -36,6 +36,53 @@ def _tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_arrays(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct token ARRAY — the row shape both the signature
+    and the verify tier consume, so the linear passes never explode
+    tokens into rows."""
+    return docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+
+def minhash_bands(tok_arr: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows for LSH bucketing.
+
+    Per-doc MinHash signature: h_i = min over tokens of xxhash64(i:token)
+    — an ``array_min(transform(...))`` codegen expression; band key =
+    xxhash64 of the band's signature slice (an 8-byte join key — md5
+    strings quadruple the shuffle width for no information gain). The
+    whole stage is PURE map-side: scan → project → posexplode, zero
+    Exchange — asserted by tests/test_plans.py (the property that makes
+    signatures free at 100 TB: they ride along the initial scan)."""
+    sig = tok_arr.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("toks"),
+                    lambda t, i=i: F.xxhash64(
+                        F.concat_ws(":", F.lit(str(i)), t)
+                    ),
+                )
+            ).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+    key_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * _ROWS + r}") for r in range(_ROWS)],
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
+    )
+
+
 @query(
     "llm_exact_dedup",
     oracle="""
@@ -95,42 +142,8 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the array column, so no token row-explosion or shuffle ever happens
     # for the linear passes (the 100 TB-relevant change: signature
     # computation is fully map-side)
-    tok_arr = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-
-    # per-doc MinHash signature: h_i = min over tokens of xxhash64(i:token),
-    # an array_min(transform(...)) codegen expression — zero shuffles
-    sig = tok_arr.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("toks"),
-                    lambda t, i=i: F.xxhash64(
-                        F.concat_ws(":", F.lit(str(i)), t)
-                    ),
-                )
-            ).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ],
-    )
-
-    # LSH bands: band key = xxhash64 of the band's signature slice (an
-    # 8-byte join key — md5 strings quadruple the shuffle width for no
-    # information gain)
-    key_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * _ROWS + r}") for r in range(_ROWS)],
-            )
-            for b in range(_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
-    )
+    tok_arr = token_arrays(docs)
+    bands = minhash_bands(tok_arr)
 
     # Candidate pairs: bucket-mates in any band, deduplicated. distinct
     # compiles to partial (map-side) + final hash aggregation, so the

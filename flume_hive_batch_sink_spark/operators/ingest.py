@@ -360,3 +360,78 @@ def done_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
             has = os.path.exists(os.path.join(out, name, "_DONE"))
             rows.append((name.split("=", 1)[1], has))
     return spark.createDataFrame(rows, "dt STRING, has_done BOOLEAN")
+
+
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def register_catalog_partitions(spark: SparkSession, sf_dir: str) -> str:
+    """The reference's metastore-registration step against Spark's
+    session catalog: write the dt/hr layout, CREATE an external
+    partitioned table over it, then register every partition —
+    half via ``ALTER TABLE … ADD PARTITION`` (the ``add_partition``
+    RPC analogue [R-pub: SURVEY.md §0.1/§3.3]), the rest via
+    ``MSCK REPAIR TABLE`` (the bulk-recovery twin). Returns the table
+    name; from here on the catalog — not directory inference — owns
+    partition discovery and pruning. Driver work is O(#partitions).
+
+    On a real deployment the same statements go to the Hive metastore
+    service; the session catalog is the sandbox stand-in (no metastore
+    service available — SURVEY §3.3)."""
+    import hashlib
+
+    from flume_hive_batch_sink_spark.streaming.harness import _tmpdir
+
+    ev = with_partition_keys(load(spark, sf_dir, "events"))
+    out = os.path.join(_tmpdir("catalog_tbl_"), "events_tbl")
+    hive_partitioned_write_path(ev, out)
+
+    tbl = "evcat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({_EVENTS_DDL}, dt STRING, hr BIGINT) "
+        f"USING parquet PARTITIONED BY (dt, hr) LOCATION '{out}'"
+    )
+
+    parts = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("dt="):
+            continue
+        for h in sorted(os.listdir(os.path.join(out, d))):
+            if h.startswith("hr="):
+                parts.append((d.split("=", 1)[1], h.split("=", 1)[1]))
+    # incremental registration for the first half (one batched ALTER —
+    # one catalog round-trip, the per-epoch path a streaming sink takes)
+    half = parts[: len(parts) // 2]
+    if half:
+        clauses = " ".join(
+            f"PARTITION (dt='{dt}', hr={hr})" for dt, hr in half
+        )
+        spark.sql(f"ALTER TABLE {tbl} ADD IF NOT EXISTS {clauses}")
+    # bulk recovery for everything else (restart / backfill path)
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    return tbl
+
+
+@query(
+    "hive_catalog_partitions",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS dt, CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hive_catalog_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition profile answered THROUGH the catalog table after
+    explicit partition registration (ALTER ADD + MSCK) — proves the
+    registration path end-to-end: a partition the catalog didn't learn
+    about would be invisible to the query and break the count."""
+    tbl = register_catalog_partitions(spark, sf_dir)
+    return (
+        spark.table(tbl)
+        .groupBy("dt", F.col("hr").cast("long").alias("hr"))
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -71,7 +71,7 @@ def main() -> None:
         "source": np.array([f"src{s}" for s in rng.integers(0, 20, n_docs)]),
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     }), out / "documents.parquet", row_group_size=512 * 1024)
-    print(f"wrote {n_docs:,} docs with 10k-word zipf vocab -> {out}")
+    print(f"wrote {n_docs:,} docs with uniform 10k-word vocab -> {out}")
 
 
 if __name__ == "__main__":

@@ -83,6 +83,10 @@ def _canon_column(s) -> "np.ndarray":
     if pd.api.types.is_bool_dtype(dt) and not pd.api.types.is_object_dtype(dt):
         return np.where(s.to_numpy(dtype=bool), "True", "False").astype(object)
     if pd.api.types.is_integer_dtype(dt):
+        if pd.api.types.is_unsigned_integer_dtype(dt):
+            # uint64 > 2^63 (possible from DuckDB UBIGINT) would silently
+            # wrap under a to_numpy(int64) cast — per-cell path is exact
+            return s.astype(object).map(_canon_cell).to_numpy(dtype=object)
         if s.isna().any():  # nullable Int64 with missing → per-cell path
             return s.astype(object).map(_canon_cell).to_numpy(dtype=object)
         return s.to_numpy(dtype=np.int64).astype(str).astype(object)

@@ -172,6 +172,20 @@ def test_bucketed_join_pays_write_once_across_calls(spark):
     assert listing() == before
 
 
+def test_minhash_signature_stage_is_map_side(spark):
+    """The MinHash signature + banding stage must compile with ZERO
+    Exchange: scan → project (array_min/transform codegen) → posexplode.
+    This is the property that makes signatures free at 100 TB — they
+    ride along the initial scan; the first shuffle in the dedup pipeline
+    is the band-bucket join, never signature computation."""
+    from flume_hive_batch_sink_spark.llm import dedup
+
+    docs = load(spark, SF_DIR, "documents")
+    p = plan(dedup.minhash_bands(dedup.token_arrays(docs)))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the posexplode is there — right plan, not a stub
+
+
 def test_ntile_approx_has_no_window(spark):
     """The scale-safe quartile operator must compile WITHOUT any
     WindowExec (its reason to exist: win_ntile's exact global ntile
@@ -292,6 +306,30 @@ def test_partition_pruning_static_and_dynamic(spark):
     )
     dyn = plan(back.join(F.broadcast(dim), "dt").groupBy("event_type").count())
     assert "dynamicpruning" in dyn.lower()
+
+
+def test_catalog_partitions_registered_and_pruned(spark):
+    """After explicit registration (ALTER ADD + MSCK) the catalog must
+    know every partition, and a dt-filtered query over the CATALOG
+    table must prune at the scan (PartitionFilters carries the
+    predicate) — the property the reference's add_partition RPC exists
+    to provide."""
+    from flume_hive_batch_sink_spark.operators.ingest import (
+        register_catalog_partitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = register_catalog_partitions(spark, sf)
+    parts = spark.sql(f"SHOW PARTITIONS {tbl}").collect()
+    assert len(parts) > 0
+    n_cat = spark.table(tbl).count()
+    n_src = load(spark, sf, "events").count()
+    assert n_cat == n_src, "catalog table must expose every registered row"
+
+    val = parts[0]["partition"].split("/")[0].split("=")[1]
+    p = plan(spark.table(tbl).filter(F.col("dt") == val).groupBy("hr").count())
+    pf = [l for l in p.split("\n") if "PartitionFilters" in l][0]
+    assert val in pf
 
 
 def test_bucketed_join_sf_scoped_tables(spark):

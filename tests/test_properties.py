@@ -153,6 +153,10 @@ def test_vectorized_canon_matches_percell(floats, ints, texts):
         {
             "f": pd.Series(floats, dtype="float64"),
             "i": pd.Series([ints + k for k in range(n)], dtype="int64"),
+            # uint64 extremes above 2^63: must NOT wrap negative
+            "u": pd.Series(
+                [2**64 - 1 - k for k in range(n)], dtype="uint64"
+            ),
             "s": pd.Series([texts] * n),
             "t": pd.Series(
                 np.arange(n).astype("datetime64[s]").astype("datetime64[us]")
