@@ -42,14 +42,14 @@ HEADLINE = (
 )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+def run(sf_dir: str, reps: int | None = None) -> dict:
+    from bench import parse_sf
+
+    sf = parse_sf(sf_dir)
     load_all_operators()
     con = duckdb_connect(sf_dir)
-    reps = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
+    if reps is None:
+        reps = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
 
     warm2: dict[str, float] = {}
     median: dict[str, float] = {}
@@ -66,20 +66,23 @@ def main() -> None:
                 samples.append(dt)
         median[name] = round(statistics.median(samples), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_headline_queries",
-                "sf": sf,
-                "unit": "sec",
-                "warm2_total": round(sum(warm2.values()), 4),
-                "median_total": round(sum(median.values()), 4),
-                "warm2": warm2,
-                "median": median,
-                "reps": reps,
-            }
-        )
+    return {
+        "metric": "duckdb_headline_queries",
+        "sf": sf,
+        "unit": "sec",
+        "warm2_total": round(sum(warm2.values()), 4),
+        "median_total": round(sum(median.values()), 4),
+        "warm2": warm2,
+        "median": median,
+        "reps": reps,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    print(json.dumps(run(sf_dir)))
 
 
 if __name__ == "__main__":
