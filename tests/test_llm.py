@@ -52,13 +52,71 @@ def test_multimodal_codec_stubs_raise(spark):
     from flume_hive_batch_sink_spark.llm import multimodal
 
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
+        multimodal.decode_image(b"GIF87a\x00\x00")  # GIF needs a native codec
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")  # truncated signature
     with pytest.raises(NotImplementedError):
         multimodal.resample_audio(b"RIFF")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00\x00")
+
+
+def test_jpeg_gray_blocks_exact(spark):
+    """The lossless JPEG configuration the SQL oracle relies on:
+    constant-gray 8x8 blocks under all-ones quantization must decode to
+    EXACTLY the analytic pattern — any Huffman/dequant/IDCT/layout bug
+    shifts a pixel."""
+    from flume_hive_batch_sink_spark.llm import jpeg
+
+    for vid in (0, 1, 5, 17, 123, 499):
+        w, h, rgb = jpeg.decode_jpeg(jpeg.encode_jpeg_gray_blocks(vid))
+        assert (w, h) == jpeg.jpeg_dims(vid)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = jpeg.gray_block_value(vid, bx, by)
+                assert (rgb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+
+
+def test_jpeg_lossy_roundtrip_bounded(spark):
+    """Full-color round trip through the complete baseline path (DC+AC
+    Huffman, zigzag, FDCT/IDCT, YCbCr) stays within the analytic error
+    bound for all-ones quantization (coefficient rounding ±0.5 + chroma
+    rounding): max abs pixel error ≤ 3 on seeded random RGB, including
+    non-multiple-of-8 dims (edge padding) and restart intervals."""
+    import numpy as np
+
+    from flume_hive_batch_sink_spark.llm import jpeg
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    w, h, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert (w, h) == (32, 24)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    odd = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    w, h, out_odd = jpeg.decode_jpeg(jpeg.encode_jpeg(odd))
+    assert (w, h) == (21, 13)
+    assert np.abs(out_odd.astype(int) - odd.astype(int)).max() <= 3
+
+    # DRI/RSTn path must be byte-for-byte identical to the plain scan
+    rst = jpeg.decode_jpeg(jpeg.encode_jpeg(img, restart_interval=2))[2]
+    assert (rst == out).all()
+
+
+def test_jpeg_rejects_progressive(spark):
+    """SOF2 (progressive) is out of scope and must fail loudly, not
+    misparse."""
+    import pytest as _pytest
+
+    import numpy as np
+
+    from flume_hive_batch_sink_spark.llm import jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(jpeg.encode_jpeg(img))
+    payload[payload.find(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(payload))
 
 
 def test_png_bmp_roundtrip_all_filters(spark):
