@@ -375,3 +375,113 @@ def llm_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = blocked_threshold_pairs(emb, threshold=0.4, cache_key=sf_dir)
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+
+
+# Duplicated-substring span detection (the "exact substring dedup" tier
+# of training-data curation, after Lee et al. 2022's finding that
+# verbatim repeated spans — boilerplate, licenses, templates — degrade
+# LM training even when whole documents differ).
+_SPAN_K = 32
+
+
+@query(
+    "llm_substring_dup_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, {_SPAN_K}) AS gram
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) - {_SPAN_K - 1} + 1))
+                    AS p) p
+      WHERE length(text) >= {_SPAN_K}
+    ),
+    d AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+    sp AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > {_SPAN_K}
+                  THEN 1 ELSE 0 END AS st
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    a AS (
+      SELECT doc_id, COUNT(*) AS n_dup_pos, SUM(st) AS n_spans
+      FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(length(t.text) - {_SPAN_K - 1} AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           round(COALESCE(a.n_dup_pos, 0)
+                 / (length(t.text) - {_SPAN_K - 1.0}), 9) AS dup_frac
+    FROM documents t LEFT JOIN a USING (doc_id)
+    WHERE length(t.text) >= {_SPAN_K}
+    """,
+)
+def llm_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection: for every doc, how many of
+    its 32-char grams appear verbatim in ANOTHER doc, and how many
+    merged duplicate spans that forms (runs of duplicated gram positions
+    closer than K chars collapse into one span).
+
+    100 TB shape: the gram explode projects to (doc_id, pos,
+    xxhash64(gram)) BEFORE the shuffle — 8-byte keys, never the gram
+    text — so the exchanged volume is ~16 bytes per character position
+    regardless of K. The duplicated-key set comes from one hash
+    aggregation (map-side partial on xxhash64), membership is a shuffle
+    semi-join on the 8-byte key, and span merging is a per-doc window
+    (hash-partitioned by doc_id — no global window). The SQL oracle
+    groups the gram STRINGS; the 2^-64 xxhash64 collision probability is
+    the standard fingerprint-dedup trade (same as MinHash above) and a
+    paranoid deployment re-verifies candidates against gram bytes.
+    """
+    k = _SPAN_K
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= k)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, length(text) - {k - 1})")).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.col("text").substr(F.col("pos"), F.lit(k))).alias("ghash"),
+    )
+    dup_keys = (
+        grams.groupBy("ghash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ghash")
+    )
+    marked = grams.join(dup_keys, "ghash", "left_semi")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = marked.withColumn(
+        "st",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            1,
+        ).otherwise(0),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_pos"), F.sum("st").alias("n_spans")
+    )
+    totals = docs.select(
+        "doc_id", (F.length("text") - (k - 1)).cast("bigint").alias("n_grams")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_dup_pos", F.lit(0)).cast("bigint").alias("n_dup_pos"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.coalesce("n_dup_pos", F.lit(0)) / F.col("n_grams").cast("double"), 9
+        ).alias("dup_frac"),
+    )

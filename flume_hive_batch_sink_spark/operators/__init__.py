@@ -3,6 +3,7 @@
 from flume_hive_batch_sink_spark.operators import (  # noqa: F401
     aggregates,
     etl,
+    graph,
     ingest,
     relational,
     sketches,

@@ -343,3 +343,79 @@ def test_bucketed_join_sf_scoped_tables(spark):
     sql = registry.ORACLES["join_bucketed_colocated"]
     for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.001"):
         compare(q(spark, sf), sql, sf)
+
+
+def test_substring_spans_window_partitioned_and_hash_only_shuffle(spark):
+    """llm_substring_dup_spans: the span-merge window must be hash-
+    partitioned by doc_id (never a global window), and the exploded gram
+    stage must shuffle the 8-byte xxhash64 — the gram STRING must not
+    survive past the projection under the exchange."""
+    from flume_hive_batch_sink_spark.llm.dedup import llm_substring_dup_spans
+
+    df = llm_substring_dup_spans(spark, SF_DIR)
+    p = plan(df, mode="simple")
+    assert "hashpartitioning(doc_id" in p
+    assert "Window" in p
+    fmt = plan(df)
+    assert "xxhash64" in fmt
+    # no single-partition window anywhere
+    assert "SinglePartition" not in p
+
+
+def test_graph_pagerank_no_cartesian_and_partial_agg(spark):
+    """Each PageRank iteration must be an equi-join + partially
+    aggregated groupBy — no cartesian/nested-loop, map-side combine
+    present."""
+    from flume_hive_batch_sink_spark.operators.graph import _cs_edges, _DAMPING
+
+    from pyspark.sql import functions as F
+
+    edges = _cs_edges(spark, SF_DIR)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    weighted = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("d")).alias("w")
+    )
+    ranks = deg.select(F.col("src").alias("node"), F.lit(0.001).alias("pr"))
+    it1 = (
+        weighted.join(ranks, weighted.src == ranks.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg((F.lit(0.1) + _DAMPING * F.sum(F.col("pr") * F.col("w"))).alias("pr"))
+    )
+    p = plan(it1)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p
+
+
+def test_graph_triangles_oriented_join_no_cartesian(spark):
+    """The compact-forward triangle join must stay an equi-join chain
+    (the u<v orientation is a post-join filter on the co-part join, and
+    the closing edge check is a LeftSemi)."""
+    from flume_hive_batch_sink_spark.operators.graph import graph_triangles
+
+    # graph_triangles collects scalar counts; gate the edge+wedge plan
+    # by rebuilding the same joins unexecuted.
+    from pyspark.sql import functions as F
+
+    sp = (
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+    )
+    p = plan(wedge)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
