@@ -318,3 +318,150 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def _spread_bits(col):
+    """Morton spread: 16-bit int -> even bit positions of a 32-bit int,
+    via the binary-magic-numbers ladder (4 shift/mask steps — pure
+    codegen-able integer ops, identical arithmetic on the oracle side)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+_DUCK_SPREAD = """
+      SELECT {cols},
+             ((s3 | (s3 << 1)) & 1431655765) AS {out}
+      FROM (SELECT {cols},
+                   ((s2 | (s2 << 2)) & 858993459) AS s3
+            FROM (SELECT {cols},
+                         ((s1 | (s1 << 4)) & 252645135) AS s2
+                  FROM (SELECT {cols},
+                               ((s0 | (s0 << 8)) & 16711935) AS s1
+                        FROM (SELECT {cols}, ({src} & 65535) AS s0
+                              FROM {rel}) t0) t1) t2) t3
+"""
+
+
+@query(
+    "etl_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(CAST(floor(o_totalprice) AS BIGINT) % 65536 AS BIGINT) AS y
+      FROM orders
+    ),
+    sx AS ({_DUCK_SPREAD.format(cols="o_orderkey, x, y", src="x", out="zx", rel="base")}),
+    sy AS ({_DUCK_SPREAD.format(cols="o_orderkey, zx, x, y", src="y", out="zy", rel="sx")}),
+    z AS (SELECT o_orderkey, x, y, (zx | (zy << 1)) AS zval FROM sy)
+    SELECT CAST(zval >> 26 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+           CAST(MIN(zval) AS BIGINT) AS min_z, CAST(MAX(zval) AS BIGINT) AS max_z
+    FROM z GROUP BY 1
+    """,
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering: interleave the bits of
+    two filter columns into one sort key, bucket rows by z-range, and
+    report per-bucket min/max envelopes — the data-skipping layout
+    technique behind Delta/Iceberg OPTIMIZE ZORDER. A range predicate on
+    EITHER column now prunes most buckets by their min/max stats,
+    because the Morton curve keeps both coordinates locally bounded
+    within each z-range (a single-column sort gives skipping on one
+    column only).
+
+    100 TB shape: the z-value is 4 shift/mask steps per column — pure
+    whole-stage-codegen integer ops, no UDF — and the bucket id is a
+    constant shift, so layout assignment is map-side; the per-bucket
+    stats aggregation is the only shuffle (by the 64-value bucket id; a
+    real table write would ``repartitionByRange(zval)`` with the same
+    key). The oracle replays the identical bit ladder in DuckDB —
+    engine-exact integers end-to-end.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (F.floor("o_totalprice").cast("bigint") % 65536).alias("y"),
+    )
+    z = base.select(
+        "x",
+        "y",
+        _spread_bits(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_bits(F.col("y")), 1))
+        .alias("zval"),
+    )
+    return z.groupBy(F.shiftright("zval", 26).cast("bigint").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.min("zval").cast("bigint").alias("min_z"),
+        F.max("zval").cast("bigint").alias("max_z"),
+    )
+
+
+@query(
+    "etl_incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(SUM(CAST(value AS DECIMAL(18,4))), 2) :: DOUBLE AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped aggregate: an existing
+    snapshot (80% of events by event_id mod) is merged with a delta
+    batch (the other 20%) WITHOUT rescanning the base — full-outer join
+    of the two partial aggregates, combining with the aggregate's merge
+    law (count: +, sum: +, max: greatest). The oracle recomputes from
+    scratch over the whole table; equality proves the merge law holds,
+    which is the correctness core of any incremental rollup pipeline
+    (the streaming twin is stream_agg_update's update-mode state).
+
+    100 TB shape: the snapshot side is a stored aggregate (tiny — one
+    row per group), so maintenance cost is O(delta) scan + a join on the
+    group key, instead of O(base+delta) rescan. Sums run in
+    DECIMAL(18,4) on both sides so the base+delta addition order cannot
+    drift from the oracle's single-pass float sum.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def agg_of(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+    snap = agg_of(ev.filter(F.col("event_id") % 10 < 8))
+    delta = agg_of(ev.filter(F.col("event_id") % 10 >= 8))
+    s, d = snap.alias("s"), delta.alias("d")
+    return (
+        s.join(d, F.col("s.event_type") == F.col("d.event_type"), "full_outer")
+        .select(
+            F.coalesce("s.event_type", "d.event_type").alias("event_type"),
+            (
+                F.coalesce("s.n_rows", F.lit(0)) + F.coalesce("d.n_rows", F.lit(0))
+            ).alias("n_rows"),
+            F.round(
+                F.coalesce("s.sum_value", F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce("d.sum_value", F.lit(0).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("sum_value"),
+            F.greatest(
+                F.coalesce("s.max_event_id", F.lit(-1)),
+                F.coalesce("d.max_event_id", F.lit(-1)),
+            ).alias("max_event_id"),
+        )
+    )

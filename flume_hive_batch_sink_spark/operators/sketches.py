@@ -161,3 +161,109 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
     )
+
+
+# Bloom filter geometry: m = 8192 bits, k = 3 universal-family hashes
+# h_i(key) = ((key*A_i + B_i) mod P) mod m with P = 2^31-1 and multiplier
+# primes < 2^32 — products stay under 2^63 for keys up to ~1e9, so the
+# SAME integer arithmetic runs overflow-free (and engine-identically) in
+# Spark and DuckDB, which is what makes the oracle EXACT rather than
+# certificate-only.
+_BLOOM_M = 8192
+_BLOOM_P = 2_147_483_647
+_BLOOM_H = ((2_654_435_761, 7), (2_246_822_519, 131), (3_266_489_917, 911))
+
+
+def _bloom_bits_expr(col):
+    """The k hash/bit expressions for one key column (Spark side)."""
+    return [
+        ((F.col(col) * F.lit(a) + F.lit(b)) % _BLOOM_P % _BLOOM_M).alias("b")
+        for a, b in _BLOOM_H
+    ]
+
+
+@query(
+    "sketch_bloom_prejoin",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT (CAST(k AS BIGINT) * 2654435761 + 7) % {_BLOOM_P} % {_BLOOM_M} AS b FROM build
+        UNION ALL
+        SELECT (CAST(k AS BIGINT) * 2246822519 + 131) % {_BLOOM_P} % {_BLOOM_M} FROM build
+        UNION ALL
+        SELECT (CAST(k AS BIGINT) * 3266489917 + 911) % {_BLOOM_P} % {_BLOOM_M} FROM build
+      )
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ph AS (
+      SELECT k, (CAST(k AS BIGINT) * 2654435761 + 7) % {_BLOOM_P} % {_BLOOM_M} AS b FROM probe
+      UNION ALL
+      SELECT k, (CAST(k AS BIGINT) * 2246822519 + 131) % {_BLOOM_P} % {_BLOOM_M} FROM probe
+      UNION ALL
+      SELECT k, (CAST(k AS BIGINT) * 3266489917 + 911) % {_BLOOM_P} % {_BLOOM_M} FROM probe
+    ),
+    maybe AS (
+      SELECT ph.k FROM ph JOIN bits USING (b) GROUP BY ph.k HAVING COUNT(*) = 3
+    ),
+    tru AS (SELECT p.k FROM probe p JOIN build b ON p.k = b.k)
+    SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+           CAST((SELECT COUNT(*) FROM maybe) AS BIGINT) AS n_maybe,
+           CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM maybe) -
+                (SELECT COUNT(*) FROM tru) AS BIGINT) AS n_false_pos
+    """,
+)
+def sketch_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: build an m=8192/k=3 filter over the
+    selective side's keys (orders WHERE status='F'), probe the fact
+    side's keys, and report maybe/true/false-positive counts — the
+    runtime-filter pattern Spark itself injects
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), built here
+    from first principles with an engine-portable hash family so the
+    DuckDB oracle replays every bit EXACTLY (no certificate needed).
+
+    100 TB shape: the bit set (≤ m distinct rows, here ≤ 8192) is the
+    broadcast side of the probe join — the distributed analogue of
+    shipping a 1 KB bitmap to every executor. The probe explodes k=3
+    hash rows per key (8-byte each), broadcast-joins the bits, and keeps
+    keys with all k hits; the expensive exact join then runs only on
+    ~(true ∪ false-positive) keys. False-positive rate at these
+    parameters: (1-e^(-kn/m))^k — reported exactly by n_false_pos.
+    """
+    orders = load(spark, sf_dir, "orders")
+    build = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        build.select(F.explode(F.array(*_bloom_bits_expr("k"))).alias("b"))
+        .distinct()
+    )
+    probe = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    ph = probe.select("k", F.explode(F.array(*_bloom_bits_expr("k"))).alias("b"))
+    maybe = (
+        ph.join(F.broadcast(bits), "b")
+        .groupBy("k")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == 3)
+    )
+    n_build = build.count()
+    n_bits = bits.count()
+    n_probe = probe.count()
+    n_maybe = maybe.count()
+    n_true = probe.join(build, "k", "left_semi").count()
+    return spark.createDataFrame(
+        [(n_build, n_bits, n_probe, n_maybe, n_true, n_maybe - n_true)],
+        "n_build BIGINT, n_bits_set BIGINT, n_probe BIGINT, "
+        "n_maybe BIGINT, n_true BIGINT, n_false_pos BIGINT",
+    )
