@@ -419,3 +419,21 @@ def test_graph_triangles_oriented_join_no_cartesian(spark):
     p = plan(wedge)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "LeftSemi" in p
+
+
+def test_zorder_is_codegen_integer_ops(spark):
+    """The Morton bit ladder must stay inside whole-stage codegen (no
+    Python UDF, no BatchEvalPython) and aggregate with a map-side
+    partial stage."""
+    from flume_hive_batch_sink_spark.operators.etl import etl_zorder_layout
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = etl_zorder_layout(spark, SF_DIR)
+        p = plan(df, mode="codegen")
+        fmt = plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BatchEvalPython" not in fmt and "ArrowEvalPython" not in fmt
+    assert "WholeStageCodegen subtrees" in p and "Found 0" not in p
+    assert "partial_count" in fmt or "partial_min" in fmt

@@ -307,3 +307,37 @@ def test_star_cc_matches_propagation_on_mixed_forest(spark):
     want.update({40: 40, 41: 40, 42: 40})
     want.update({i: i for i in range(50, 55)})
     assert got == want
+
+
+def test_pagerank_mass_conserved(spark):
+    """On an undirected graph (no dangling nodes) damped PageRank
+    preserves total mass: sum(pr) == 1 after every iteration. A broken
+    deg join or a dropped node would leak mass."""
+    from flume_hive_batch_sink_spark.operators.graph import graph_pagerank
+
+    import pyspark.sql.functions as F
+
+    out = graph_pagerank(spark, "/root/testdata/sf0.01")
+    total = out.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_zorder_buckets_partition_rows_and_nest_ranges(spark):
+    """Every orders row lands in exactly one z-bucket, and bucket z-
+    ranges are disjoint (file_id is a prefix of zval, so [min_z, max_z]
+    intervals cannot overlap across buckets)."""
+    from flume_hive_batch_sink_spark.operators.etl import etl_zorder_layout
+    from flume_hive_batch_sink_spark.io import load
+
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = etl_zorder_layout(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_rows for r in out) == n_orders
+    spans = sorted((r.min_z, r.max_z, r.file_id) for r in out)
+    for (lo1, hi1, f1), (lo2, hi2, f2) in zip(spans, spans[1:]):
+        assert hi1 < lo2 and f1 != f2
+    # the bucket id must be the high bits of every z in the bucket
+    for r in out:
+        assert (r.min_z >> 26) == r.file_id == (r.max_z >> 26)
