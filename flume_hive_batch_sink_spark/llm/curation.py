@@ -363,3 +363,70 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "llm_url_host_filter",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             'https://' || source || '.example.' ||
+             CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                       WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                       ELSE 'cn' END ||
+             '/docs/' || doc_id || '?lang=' || lang AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\.([a-z]+)$',
+                            1) AS _unused,
+             regexp_extract(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                            '\\.([a-z]+)$', 1) AS tld
+      FROM u
+    )
+    SELECT host, tld,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           tld NOT IN ('cn') AS allowed
+    FROM parsed GROUP BY 1, 2
+    """,
+)
+def llm_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host/TLD extraction + allowlist filter — the first stage of
+    every web-crawl curation pipeline (CommonCrawl-style host-level
+    quality/blocklist decisions BEFORE any text is parsed). The fixture
+    has no URL column, so a deterministic URL is synthesized from
+    (source, lang, doc_id); the operator under test is the parsing:
+    pure-regex host / path / TLD extraction (JVM regexp_extract, no
+    UDF) aggregated to host granularity with an allowed flag.
+
+    100 TB shape: host extraction is map-side codegen; the aggregation
+    key space is hosts (millions, not documents — billions), so the
+    shuffle is tiny; real blocklists join here as a broadcast dim."""
+    docs = load(spark, sf_dir, "documents")
+    tld_of = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "de")
+        .when(F.col("lang") == "fr", "fr")
+        .when(F.col("lang") == "es", "es")
+        .otherwise("cn")
+    )
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example."), tld_of,
+            F.lit("/docs/"), F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+    parsed = u.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+    )
+    return parsed.groupBy("host", "tld").agg(
+        F.count("*").alias("n_docs"),
+        (~F.col("tld").isin("cn")).alias("allowed"),
+    )

@@ -485,3 +485,89 @@ def llm_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_pos", F.lit(0)) / F.col("n_grams").cast("double"), 9
         ).alias("dup_frac"),
     )
+
+
+# Containment-join parameters: asymmetric near-dup (quotes, excerpts,
+# wrapped reposts) that Jaccard misses when |A| << |B|.
+_CONTAIN_T = 0.8
+_CONTAIN_DF_CAP = 50
+
+
+@query(
+    "llm_containment_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+    ), keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+    ), sh AS (
+      SELECT s.doc_id, s.shingle FROM sh0 s JOIN keep k USING (shingle)
+    ), n AS (
+      SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.ni AS DOUBLE) / na.ns, 6) AS containment
+    FROM inter i JOIN n na ON na.doc_id = i.doc_a
+    WHERE CAST(i.ni AS DOUBLE) / na.ns >= {_CONTAIN_T}
+    """,
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: ordered pairs (a, b) where
+    C(a→b) = |Sa ∩ Sb| / |Sa| ≥ 0.8 over word-bigram shingle sets —
+    catches a short doc quoted/embedded inside a longer one, which
+    symmetric Jaccard dilutes to ~|Sa|/|Sb| and misses.
+
+    The scale control is a DOCUMENT-FREQUENCY CAP instead of
+    llm_jaccard_dedup's prefix filter (prefix filtering is unsound for
+    containment: a contained set has NO guaranteed low-frequency prefix
+    match inside the big set's prefix): shingles appearing in more than
+    {cap} docs — boilerplate, templates — are dropped from BOTH the
+    index and the denominator (replayed identically by the oracle), so
+    candidate volume per shingle is ≤ cap² and total work tracks
+    rare-shingle co-occurrence, never corpus². The cap is the standard
+    inverted-index skew bound (same trick as stop-lists in AllPairs).
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+    sh0 = docs.select("doc_id", F.explode(bigrams).alias("shingle"))
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    cont = F.col("ni").cast("double") / F.col("ns")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(cont >= _CONTAIN_T)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -320,3 +320,78 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
     )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500.0 THEN 21
+                     ELSE floor(value * 20.0 / 500.0) + 1 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-domain histogram per group via ``width_bucket`` — one
+    map-side bucket assignment + one hash aggregation, the O(n) shape
+    that replaces per-group sorts for distribution profiling. The bucket
+    edge formula is written EXPLICITLY (floor(x·n/width)+1 with under/
+    overflow buckets 0 and n+1, the SQL-standard width_bucket contract)
+    and identically on both sides, so edge doubles agree bit-for-bit —
+    DuckDB has no width_bucket and engine-specific implementations could
+    disagree at representability boundaries anyway."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 500.0, 21)
+        .otherwise(F.floor(F.col("value") * 20.0 / 500.0) + 1)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return ev.groupBy("event_type", bucket).agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_nationkey, c_mktsegment, cnt,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+      FROM c
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, CAST(cnt AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group: count + one
+    windowed argmax with an explicit value tiebreak. Spark 3.4's native
+    ``mode()`` is tie-arbitrary — unacceptable under a value-hash
+    contract — so the operator pins ties by segment name; the window
+    partitions on the group key (25 nations — no global window)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("cnt").cast("bigint").alias("n"),
+        )
+    )
