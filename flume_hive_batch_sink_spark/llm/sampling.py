@@ -187,3 +187,80 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+@query(
+    "sample_weighted_poisson",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice,
+             (CAST(o_orderkey AS BIGINT) * 2654435761 + 7)
+               % 2147483647 % 1000000 < floor(o_totalprice) AS picked,
+             floor(o_totalprice) / 1000000.0 AS p_i
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(SUM(CASE WHEN picked
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) :: DOUBLE
+             AS sum_sampled,
+           round(SUM(CASE WHEN picked THEN o_totalprice / p_i END), 2)
+             AS ht_total_estimate,
+           round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) :: DOUBLE
+             AS true_total
+    FROM s GROUP BY 1
+    """,
+)
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling with a Horvitz–Thompson total
+    estimator: each order is included with probability proportional to
+    its weight (p_i = floor(o_totalprice)/1e6), decided by a
+    DETERMINISTIC engine-portable hash of the key — the repartition-
+    stable, replayable analogue of rand() < p_i (same reasoning as
+    split_train_test's content-addressed split, but weight-biased: the
+    pattern behind importance-weighted corpus subsampling, where
+    high-quality documents get proportionally higher keep rates). The
+    HT estimate Σ x_i/p_i over the sample is unbiased for the group
+    total; the result carries estimate AND truth side by side so the
+    oracle pins both (and the reader sees the estimator's actual
+    error).
+
+    100 TB shape: inclusion is one map-side integer expression — no
+    shuffle, no RNG state, no driver coordination; the aggregation is
+    an ordinary partial-agg groupBy. DECIMAL for exact sums, round(2)
+    on the float HT column per the round-on-both-sides convention."""
+    orders = load(spark, sf_dir, "orders")
+    p_i = F.floor("o_totalprice") / 1_000_000.0
+    picked = (
+        (F.col("o_orderkey").cast("bigint") * 2654435761 + 7)
+        % 2147483647
+        % 1_000_000
+        < F.floor("o_totalprice")
+    )
+    s = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        picked.alias("picked"),
+        p_i.alias("p_i"),
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0)).alias("n_sampled"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("picked"), F.col("o_totalprice").cast("decimal(18,4)")
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sum_sampled"),
+        F.round(
+            F.sum(F.when(F.col("picked"), F.col("o_totalprice") / F.col("p_i"))), 2
+        ).alias("ht_total_estimate"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("true_total"),
+    )

@@ -318,3 +318,38 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(e.value AS DECIMAL(18,4))), 2) :: DOUBLE AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the Flume "decorate events with a
+    dimension" pattern done the Structured Streaming way: the static
+    side (customer) is a plain batch DataFrame joined into the stream;
+    Spark re-plans it per micro-batch as a broadcast hash join, so the
+    stream side never shuffles and dimension updates between batches
+    are picked up automatically (the canonical slowly-changing-dim
+    serving pattern). State-free — unlike stream-stream joins no
+    watermark bookkeeping is needed. Complete-mode aggregate equals the
+    batch join, which is what the oracle replays; DECIMAL sums keep
+    accumulation order irrelevant."""
+    s = harness.events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return harness.run_to_memory(agg, _qname("static_join"), "complete", spark)
