@@ -430,3 +430,109 @@ def llm_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (~F.col("tld").isin("cn")).alias("allowed"),
     )
+
+
+_V2_ORACLE = """
+    WITH allowed AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                      ELSE 'cn' END <> 'cn'
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM allowed GROUP BY md5(lower(trim(text)))
+    ),
+    clean AS (SELECT a.* FROM allowed a JOIN keep USING (doc_id)),
+    g AS (
+      SELECT doc_id, substr(text, p.p, 32) AS gram
+      FROM clean,
+           LATERAL (SELECT unnest(range(1, length(text) - 31 + 1)) AS p) p
+      WHERE length(text) >= 32
+    ),
+    dupg AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    nd AS (
+      SELECT g.doc_id, COUNT(*) AS nd FROM g JOIN dupg USING (gram)
+      GROUP BY g.doc_id
+    ),
+    dropped AS (
+      SELECT c.doc_id
+      FROM clean c JOIN nd ON nd.doc_id = c.doc_id
+      WHERE nd.nd * 1.0 / (length(c.text) - 31) > 0.5
+    ),
+    final AS (
+      SELECT * FROM clean
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM final GROUP BY source
+"""
+
+
+@query("llm_curation_pipeline_v2", oracle=_V2_ORACLE)
+def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composite: the web-corpus curation chain built from this
+    round's operators as ONE declarative plan — URL/TLD allowlist (the
+    host-filter stage; synthesized TLD ≠ 'cn') → exact dedup (keep min
+    doc_id per content hash) → duplicated-substring boilerplate filter
+    (drop docs whose 32-gram duplicate fraction on the CLEANED corpus
+    exceeds 0.5 — dedup runs first, so spans flag cross-document
+    boilerplate, not whole-copy dups the previous stage already
+    removed) → per-source document/token audit.
+
+    Catalyst fuses the chain: the TLD filter is a map-side CASE on the
+    scan, dedup is one hash-agg + semi join, the dup-gram set is a
+    hash-agg + semi join on 8-byte xxhash64 keys, and the audit is a
+    map-side-combined rollup — strictly-shrinking data through ~4
+    shuffles, same posture as llm_curation_pipeline (v1) but exercising
+    the round-5 stage library."""
+    d = load(spark, sf_dir, "documents")
+    tld_of = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "de")
+        .when(F.col("lang") == "fr", "fr")
+        .when(F.col("lang") == "es", "es")
+        .otherwise("cn")
+    )
+    allowed = d.filter(tld_of != "cn").select("doc_id", "lang", "source", "text")
+    keepers = allowed.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    clean = allowed.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    k = 32
+    with_grams = clean.filter(F.length("text") >= k)
+    grams = with_grams.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, length(text) - {k - 1})")).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.xxhash64(F.col("text").substr(F.col("pos"), F.lit(k))).alias("ghash"),
+    )
+    dup_keys = (
+        grams.groupBy("ghash")
+        .agg(F.count_distinct("doc_id").alias("ndoc"))
+        .filter(F.col("ndoc") >= 2)
+        .select("ghash")
+    )
+    nd = (
+        grams.join(dup_keys, "ghash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nd"))
+    )
+    dropped = (
+        with_grams.select("doc_id", (F.length("text") - (k - 1)).alias("ng"))
+        .join(nd, "doc_id")
+        .filter(F.col("nd") / F.col("ng") > 0.5)
+        .select("doc_id")
+    )
+    final = clean.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )

@@ -50,6 +50,15 @@ RISKY = [
     "llm_semdedup_kmeans",
     "llm_ann_ivf_kmeans",
     "win_ntile_approx",
+    # round-5 additions: hash-based sampling/dedup and iterative/graph
+    # operators where partition order or float summation could hide
+    "graph_pagerank",
+    "graph_triangles",
+    "llm_substring_dup_spans",
+    "llm_containment_dedup",
+    "sketch_bloom_prejoin",
+    "sample_weighted_poisson",
+    "multimodal_decode_jpeg",
 ]
 
 

@@ -341,3 +341,31 @@ def test_zorder_buckets_partition_rows_and_nest_ranges(spark):
     # the bucket id must be the high bits of every z in the bucket
     for r in out:
         assert (r.min_z >> 26) == r.file_id == (r.max_z >> 26)
+
+
+def test_doulion_estimate_and_rate(spark):
+    """DOULION invariants: the estimate is exactly sampled/p^3 (integer
+    multiply), and the realized edge-sampling rate is near p=2% (the
+    hash family must not be biased)."""
+    from flume_hive_batch_sink_spark.operators.graph import (
+        graph_triangles, _TRI_SCALE, _TRI_P_NUM, _TRI_P_DEN)
+
+    r = graph_triangles(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.est_triangles == r.n_triangles_sampled * _TRI_SCALE
+    # sf0.01 co-occurrence graph is near-complete on 100 suppliers
+    # (~4950 edges); 2% sampling should land within a loose binomial
+    # band around 99
+    p = _TRI_P_NUM / _TRI_P_DEN
+    assert 0.2 * p * 4950 <= r.n_edges_sampled <= 3.0 * p * 4950
+
+
+def test_ht_estimator_tracks_truth(spark):
+    """The Horvitz–Thompson weighted-sample estimate must be in the
+    neighborhood of the true group total (mean inclusion ~25%, n≈3000
+    per group at sf0.01 → relative SE a few percent; 25% is a safe
+    band that still catches a broken p_i)."""
+    from flume_hive_batch_sink_spark.llm.sampling import sample_weighted_poisson
+
+    for r in sample_weighted_poisson(spark, "/root/testdata/sf0.01").collect():
+        assert r.n_sampled > 0
+        assert abs(r.ht_total_estimate - r.true_total) / r.true_total < 0.25
