@@ -212,3 +212,56 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes BIGINT, n_edges_sampled BIGINT, "
         "n_triangles_sampled BIGINT, est_triangles BIGINT",
     )
+
+
+_PD_ITERS = 3  # 2^3 = 8 ancestor hops — covers depth ≤ 8 (sf100's tree is 8)
+
+
+@query(
+    "graph_pointer_doubling_depth",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS d FROM customer
+      UNION ALL
+      SELECT node, cur // 10 AS cur, d + 1 FROM walk WHERE cur > 0
+    )
+    SELECT node, CAST(MAX(d) AS BIGINT) AS depth,
+           CAST(0 AS BIGINT) AS root
+    FROM walk GROUP BY node
+    """,
+)
+def graph_pointer_doubling_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy depth + root via POINTER DOUBLING (path doubling): each
+    iteration replaces every node's ancestor pointer with its ancestor's
+    ancestor, so reachable distance doubles per round — ⌈log2(depth)⌉
+    shuffle joins instead of the depth-many rounds of naive parent
+    walking. This is the core trick behind distributed transitive
+    closure / linked-list ranking, and the reason deep hierarchies
+    (BOMs, org charts, category trees) are tractable as DataFrame jobs:
+    a depth-1000 chain needs 10 self-joins, not 1000.
+
+    The hierarchy is synthesized (parent = custkey/10 — a decimal-digit
+    tree over the real customer keys; the root 0 self-loops with
+    distance 0, which makes saturation algebraic: joining through the
+    root adds 0). The oracle walks the SAME tree with a recursive CTE —
+    the O(depth) formulation — so equality proves the doubling recursion
+    correct. Each iteration is one equi-join on the ancestor pointer +
+    projection; the frontier never grows (always |V| rows)."""
+    nodes = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    ptr = nodes.select(
+        "node",
+        F.floor(F.col("node") / 10).cast("bigint").alias("anc"),
+        F.when(F.col("node") == 0, 0).otherwise(1).cast("bigint").alias("d"),
+    )
+    for _ in range(_PD_ITERS):
+        a, b = ptr.alias("a"), ptr.alias("b")
+        ptr = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.d") + F.col("b.d")).alias("d"),
+        )
+    return ptr.select(
+        "node", F.col("d").alias("depth"), F.col("anc").alias("root")
+    )

@@ -437,3 +437,38 @@ def test_zorder_is_codegen_integer_ops(spark):
     assert "BatchEvalPython" not in fmt and "ArrowEvalPython" not in fmt
     assert "WholeStageCodegen subtrees" in p and "Found 0" not in p
     assert "partial_count" in fmt or "partial_min" in fmt
+
+
+def test_bloom_probe_join_broadcasts_bits(spark):
+    """The Bloom probe must broadcast the bit set (<= m rows) — a
+    shuffle join on the bit id would defeat the point of the filter."""
+    from flume_hive_batch_sink_spark.operators.sketches import (
+        _bloom_bits_expr)
+    from pyspark.sql import functions as F
+
+    orders = load(spark, SF_DIR, "orders")
+    build = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k")).distinct()
+    )
+    bits = build.select(
+        F.explode(F.array(*_bloom_bits_expr("k"))).alias("b")
+    ).distinct()
+    probe = (
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("k")).distinct()
+    )
+    ph = probe.select("k", F.explode(F.array(*_bloom_bits_expr("k"))).alias("b"))
+    joined = ph.join(F.broadcast(bits), "b")
+    p = plan(joined)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_joins_stay_equi(spark):
+    """The containment inverted-index join must compile to equi-joins on
+    the shingle (plus post-filters) — never nested-loop."""
+    from flume_hive_batch_sink_spark.llm.dedup import llm_containment_dedup
+
+    p = plan(llm_containment_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
