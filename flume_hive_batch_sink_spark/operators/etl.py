@@ -465,3 +465,70 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_event_id"),
         )
     )
+
+
+@query(
+    "etl_table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 11 <> 0
+    ),
+    v2 AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN round(value * 1.1, 4)
+                  ELSE value END AS value
+      FROM events WHERE event_id % 13 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+             CASE WHEN a.event_id IS NULL THEN 'added'
+                  WHEN b.event_id IS NULL THEN 'removed'
+                  WHEN a.value <> b.value OR a.event_type <> b.event_type
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY status
+    """,
+)
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (anti-entropy audit): diff two versions of a
+    landed table — v2 drops some rows, adds others, and mutates a
+    deterministic subset — and classify every key as added / removed /
+    changed / unchanged. This is the audit a replayed at-least-once sink
+    (the reference's Flume semantics) runs to prove the landed table
+    converged to the source of truth after redeliveries.
+
+    100 TB shape: one full-outer sort-merge join on the key with a
+    row-comparison projection — no driver state; in production the
+    comparison column is a per-row hash (xxhash64 of the normalized
+    row) so wide tables diff at 8 bytes/row shuffle, and the join keys
+    are bucketed so repeated audits reuse the layout (the
+    join_bucketed_colocated pattern). Versions here are deterministic
+    slices/mutations of events, replayed identically by the oracle;
+    value mutation uses round(·,4) to stay float-exact on both sides."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v1 = ev.filter(F.col("event_id") % 11 != 0)
+    v2 = ev.filter(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.round(F.col("value") * 1.1, 4)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer").select(
+        F.when(F.col("a.event_id").isNull(), "added")
+        .when(F.col("b.event_id").isNull(), "removed")
+        .when(
+            (F.col("a.value") != F.col("b.value"))
+            | (F.col("a.event_type") != F.col("b.event_type")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return j.groupBy("status").agg(F.count("*").alias("n"))

@@ -1,5 +1,5 @@
-"""Graph operators over relational edge lists: fixed-iteration PageRank
-and triangle counting.
+"""Graph operators over relational edge lists: fixed-iteration PageRank,
+DOULION-sampled triangle counting, and pointer-doubling hierarchy depth.
 
 Why these belong in a batch analytics engine: entity graphs derived
 from relational data (customer-supplier, doc-link, co-occurrence) are a
