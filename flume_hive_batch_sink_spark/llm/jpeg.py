@@ -248,83 +248,115 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 def encode_jpeg(
     rgb: np.ndarray,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF encode of an (h, w, 3) uint8 RGB array at 4:4:4
-    with all-ones quantization (max-quality; constant blocks are
-    lossless — the property the SQL oracle relies on)."""
+    """Baseline JFIF encode of an (h, w, 3) uint8 RGB array with
+    all-ones quantization (max-quality; constant blocks are lossless —
+    the property the SQL oracle relies on). ``subsampling`` is "444"
+    (one block per component per MCU) or "420" (2x2 luma blocks + one
+    2x2-averaged block per chroma channel per 16x16 MCU — exercises the
+    decoder's interleaved-MCU and upsampling paths; lossless for
+    constant-chroma images, e.g. gray)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420"
     h, w = rgb.shape[:2]
     ycc = _rgb_to_ycbcr(rgb)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcu = 16 if sub else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     padded = np.empty((ph, pw, 3))
     padded[:h, :w] = ycc
     padded[h:, :w] = ycc[h - 1 : h, :]  # edge replication
     padded[:, w:] = padded[:, w - 1 : w]
+    if sub:
+        # 2x2 box-average chroma planes, then round (JFIF decimation)
+        csub = np.round(
+            (padded[0::2, 0::2, 1:] + padded[1::2, 0::2, 1:]
+             + padded[0::2, 1::2, 1:] + padded[1::2, 1::2, 1:]) / 4.0
+        )
 
     dc_codes = [_build_huffman_codes(*_DC_LUMA), _build_huffman_codes(*_DC_CHROMA)]
     ac_codes = [_build_huffman_codes(*_AC_LUMA), _build_huffman_codes(*_AC_CHROMA)]
 
     bw = _BitWriter()
     pred = [0, 0, 0]
+
+    def write_block(block: np.ndarray, comp: int) -> None:
+        tbl = 0 if comp == 0 else 1
+        coefs = np.round(_M @ (block - 128.0) @ _M.T).astype(np.int64)
+        zz = coefs.flatten()[ZIGZAG]
+        diff = int(zz[0]) - pred[comp]
+        pred[comp] = int(zz[0])
+        s = _category(diff)
+        code, length = dc_codes[tbl][s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[tbl][0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[tbl][(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[tbl][0x00]  # EOB
+            bw.write(code, length)
+
     rst_count = 0
     rst_idx = 0
-    n_blocks_y, n_blocks_x = ph // 8, pw // 8
-    for by in range(n_blocks_y):
-        for bx in range(n_blocks_x):
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
             if restart_interval and rst_count == restart_interval:
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
                 rst_idx += 1
                 rst_count = 0
-                pred = [0, 0, 0]
+                pred[:] = [0, 0, 0]
             rst_count += 1
-            for comp in range(3):
-                tbl = 0 if comp == 0 else 1
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
-                coefs = np.round(_M @ block @ _M.T).astype(np.int64)
-                zz = coefs.flatten()[ZIGZAG]
-                # DC (differential)
-                diff = int(zz[0]) - pred[comp]
-                pred[comp] = int(zz[0])
-                s = _category(diff)
-                code, length = dc_codes[tbl][s]
-                bw.write(code, length)
-                if s:
-                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                # AC (run/size)
-                run = 0
-                last_nz = 0
-                nz = np.nonzero(zz[1:])[0]
-                last_nz = int(nz[-1]) + 1 if len(nz) else 0
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[tbl][0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    s = _category(v)
-                    code, length = ac_codes[tbl][(run << 4) | s]
-                    bw.write(code, length)
-                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[tbl][0x00]  # EOB
-                    bw.write(code, length)
+            if not sub:
+                y0, x0 = my * 8, mx * 8
+                for comp in range(3):
+                    write_block(padded[y0 : y0 + 8, x0 : x0 + 8, comp], comp)
+            else:
+                y0, x0 = my * 16, mx * 16
+                for byy in range(2):  # 4 luma blocks, raster order
+                    for bxx in range(2):
+                        write_block(
+                            padded[
+                                y0 + byy * 8 : y0 + byy * 8 + 8,
+                                x0 + bxx * 8 : x0 + bxx * 8 + 8,
+                                0,
+                            ],
+                            0,
+                        )
+                cy, cx = my * 8, mx * 8
+                write_block(csub[cy : cy + 8, cx : cx + 8, 0], 1)
+                write_block(csub[cy : cy + 8, cx : cx + 8, 1], 2)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
+    y_samp = 0x22 if sub else 0x11
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
     q = bytes(_ONES_Q.astype(np.uint8))
     out += seg(0xDB, b"\x00" + q + b"\x01" + q)  # DQT x2, Pq=0
     out += seg(
-        0xC0,  # SOF0: 8-bit, 3 comps, all 1x1 sampling (4:4:4)
+        0xC0,  # SOF0: 8-bit, 3 comps
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)

@@ -20,10 +20,15 @@ Two decode tiers exist:
   the pixel/sample values are analytic in vec_id, so the DuckDB oracle
   replays per-pixel checksums exactly — a parser that mishandles
   padding, row order, a PNG filter type, or sample width cannot match.
-- STUBS for formats that genuinely need a native codec (JPEG,
-  non-PCM audio, MP4): those raise NotImplementedError by design, and
-  ``fake_feature_extract`` keeps the Spark-side plumbing (schema,
-  partitioning, UDF signature, Arrow batch shape) real and tested.
+- Baseline JPEG is ALSO real as of round 5 (llm/jpeg.py: full JFIF
+  marker parse, file-carried DQT/DHT, Huffman, IDCT, subsampling,
+  restarts) — ``multimodal_decode_jpeg`` pins it per-pixel via the
+  lossless gray-block/all-ones-quant configuration.
+- STUBS remain only for formats that genuinely need a native codec
+  (GIF/WebP, non-PCM audio, MP4): those raise NotImplementedError by
+  design, and ``fake_feature_extract`` keeps the Spark-side plumbing
+  (schema, partitioning, UDF signature, Arrow batch shape) real and
+  tested.
 
 No binary fixture ships in testdata (FIXTURES.md), so payloads are
 derived deterministically from vec_id — which is exactly what makes a

@@ -103,6 +103,39 @@ def test_jpeg_lossy_roundtrip_bounded(spark):
     assert (rst == out).all()
 
 
+def test_jpeg_420_subsampling_roundtrip(spark):
+    """The decoder's interleaved-MCU + chroma-upsampling branch (2x2
+    luma, subsampled chroma) must not be dead code: a 4:2:0 encode of a
+    constant-chroma image decodes EXACTLY (gray pattern) or within
+    color-convert rounding (constant color), and the DRI/RSTn path
+    under 4:2:0 matches the plain scan bit-for-bit."""
+    import numpy as np
+
+    from flume_hive_batch_sink_spark.llm import jpeg
+
+    w0, h0 = jpeg.jpeg_dims(17)
+    img = np.zeros((h0, w0, 3), dtype=np.uint8)
+    for by in range(h0 // 8):
+        for bx in range(w0 // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                jpeg.gray_block_value(17, bx, by)
+            )
+    w, h, out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, subsampling="420"))
+    assert (w, h) == (w0, h0) and (out == img).all()
+
+    const = np.full((16, 32, 3), (37, 180, 99), dtype=np.uint8)
+    _, _, c = jpeg.decode_jpeg(jpeg.encode_jpeg(const, subsampling="420"))
+    assert np.abs(c.astype(int) - const.astype(int)).max() <= 1
+
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(noisy, subsampling="420"))[2]
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(noisy, restart_interval=1, subsampling="420")
+    )[2]
+    assert (rst == plain).all()
+
+
 def test_jpeg_rejects_progressive(spark):
     """SOF2 (progressive) is out of scope and must fail loudly, not
     misparse."""
