@@ -472,3 +472,14 @@ def test_containment_joins_stay_equi(spark):
 
     p = plan(llm_containment_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_jpeg_decode_reads_only_vec_id(spark):
+    """The JPEG fixture+decode chain must scan ONLY vec_id from the
+    embeddings parquet — dragging the embedding array through the Arrow
+    kernels would multiply the exchanged bytes ~100x."""
+    df = registry.QUERIES["multimodal_decode_jpeg"](spark, SF_DIR)
+    p = plan(df)
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "vec_id" in read_schema
+    assert "embedding" not in read_schema and "label" not in read_schema
