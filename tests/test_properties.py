@@ -369,3 +369,38 @@ def test_ht_estimator_tracks_truth(spark):
     for r in sample_weighted_poisson(spark, "/root/testdata/sf0.01").collect():
         assert r.n_sampled > 0
         assert abs(r.ht_total_estimate - r.true_total) / r.true_total < 0.25
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Bloom's defining guarantee: every key that was inserted probes
+    as 'maybe' — n_maybe >= n_true exactly, and probing the build keys
+    themselves yields zero misses."""
+    import pyspark.sql.functions as F
+
+    from flume_hive_batch_sink_spark.operators.sketches import (
+        _bloom_bits_expr, sketch_bloom_prejoin)
+    from flume_hive_batch_sink_spark.io import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    r = sketch_bloom_prejoin(spark, sf_dir).collect()[0]
+    assert r.n_maybe >= r.n_true and r.n_false_pos == r.n_maybe - r.n_true
+
+    build = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = build.select(
+        F.explode(F.array(*_bloom_bits_expr("k"))).alias("b")
+    ).distinct()
+    self_probe = build.select(
+        "k", F.explode(F.array(*_bloom_bits_expr("k"))).alias("b")
+    )
+    hits = (
+        self_probe.join(F.broadcast(bits), "b")
+        .groupBy("k")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == 3)
+    )
+    assert hits.count() == build.count()
