@@ -59,6 +59,11 @@ RISKY = [
     "sketch_bloom_prejoin",
     "sample_weighted_poisson",
     "multimodal_decode_jpeg",
+    "llm_curation_pipeline_v2",
+    "graph_pointer_doubling_depth",
+    "etl_zorder_layout",
+    "etl_incremental_agg_merge",
+    "etl_table_diff",
 ]
 
 
