@@ -395,3 +395,49 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) :: DOUBLE
+               AS sum_qty,
+             round(SUM(CAST(l_discount AS DECIMAL(18,2))), 2) :: DOUBLE
+               AS sum_disc,
+             round(SUM(CAST(l_tax AS DECIMAL(18,2))), 2) :: DOUBLE AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide
+    UNPIVOT (val FOR metric IN (sum_qty, sum_disc, sum_tax))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of ``agg_pivot``: a wide per-group
+    aggregate is rotated into (group, metric, value) long form, the
+    shape feeding metric stores and plotting layers. Spark's native
+    ``DataFrame.unpivot`` compiles to an Expand node (one output row
+    per metric per input row, map-side — no shuffle beyond the
+    aggregation that built the wide table); DuckDB's UNPIVOT clause
+    replays it. DECIMAL sums + round(2) keep the value column
+    engine-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_disc"),
+        F.round(F.sum(F.col("l_tax").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -604,3 +604,69 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "filter_not_in_null_semantics",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_acctbal < 0)) AS BIGINT)
+        AS not_in_nonnull,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < -999.0
+                                                THEN NULL ELSE c_custkey END
+                                    FROM customer WHERE c_acctbal < 0)) AS BIGINT)
+        AS not_in_with_null,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_acctbal < 0
+                                AND (CASE WHEN c.c_acctbal < -999.0 THEN NULL
+                                          ELSE c.c_custkey END) = o.o_custkey))
+           AS BIGINT) AS not_exists_with_null
+    """,
+)
+def filter_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic three-valued-logic trap, demonstrated and pinned:
+    ``NOT IN (subquery)`` under SQL semantics returns UNKNOWN (i.e., no
+    row) for EVERY row as soon as the subquery yields a single NULL,
+    while ``NOT EXISTS`` with an equality predicate simply never matches
+    the NULL and keeps the expected rows. The key computes all three
+    counts — NOT IN over a null-free list, NOT IN over the same list
+    with an injected NULL (collapses toward 0 asymmetrically), and the
+    NOT EXISTS rewrite (unaffected) — and both engines must agree
+    exactly. At scale this is also the plan difference between a
+    null-aware anti join (expensive: Spark must broadcast the whole
+    build side for NULL checking) and a plain LeftAnti — the reason
+    production SQL style guides ban NOT IN on nullable columns."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    nonnull_keys = cust.select(F.col("c_custkey").alias("k"))
+    withnull_keys = cust.select(
+        F.when(F.col("c_acctbal") < -999.0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    orders.createOrReplaceTempView("_nin_orders")
+    nonnull_keys.createOrReplaceTempView("_nin_keys_nonnull")
+    withnull_keys.createOrReplaceTempView("_nin_keys_withnull")
+    # NOT IN must go through SQL so Spark plans its null-aware anti join
+    a = spark.sql(
+        "SELECT COUNT(*) AS c FROM _nin_orders "
+        "WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_nonnull)"
+    ).collect()[0].c
+    b = spark.sql(
+        "SELECT COUNT(*) AS c FROM _nin_orders "
+        "WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_withnull)"
+    ).collect()[0].c
+    c = (
+        orders.join(
+            withnull_keys, orders.o_custkey == withnull_keys.k, "left_anti"
+        ).count()
+    )
+    return spark.createDataFrame(
+        [(a, b, c)],
+        "not_in_nonnull BIGINT, not_in_with_null BIGINT, "
+        "not_exists_with_null BIGINT",
+    )
