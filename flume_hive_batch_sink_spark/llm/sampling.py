@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
@@ -263,4 +264,39 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
         .cast("double")
         .alias("true_total"),
+    )
+
+
+@query(
+    "sample_reservoir_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':res'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sampling, k=20 per language stratum: each
+    row draws a uniform deterministic key (md5 of its id) and the k
+    smallest keys per group win — the order-statistics formulation of
+    reservoir sampling, which unlike the sequential algorithm needs no
+    scan order and is repartition-stable. Fixed-size output per group
+    regardless of group size (vs sample_stratified's fixed-RATE
+    thresholding). Implemented as one hash-partitioned window; at
+    100 TB Spark's rank-limit pushes a per-partition top-k ahead of the
+    shuffle so only k rows per (partition x group) ever move — the
+    classic distributed-reservoir merge."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
     )

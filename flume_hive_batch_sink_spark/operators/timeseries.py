@@ -304,3 +304,79 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_interp.alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "ts_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, ts AS error_ts, event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    ), cand AS (
+      SELECT p.purchase_id, e.error_ts, e.error_id,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY e.error_ts, e.error_id
+             ) AS rn
+      FROM p JOIN e ON p.user_id = e.user_id
+       AND e.error_ts >= p.purchase_ts
+       AND e.error_ts <= p.purchase_ts + INTERVAL 1 HOUR
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.error_id, c.error_ts,
+           CAST(date_diff('second', p.purchase_ts, c.error_ts) AS BIGINT)
+             AS lag_s
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON p.purchase_id = c.purchase_id
+    """,
+)
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for every purchase, the FIRST
+    error by the same user within the following hour (or nulls). The
+    complement of ``join_asof`` (relational.py:263, backward/unbounded):
+    direction is forward and the match window is bounded, so the join
+    condition is an equi-key (user_id) plus a 1-hour band — Spark plans
+    it as a hash join on user_id with the band as residual, never a
+    cartesian. The earliest-match pick is a min over a STRUCT
+    (error_ts, error_id), an ordinary partial-aggregable min — cheaper
+    than a window and deterministic under ts ties via the event_id
+    tiebreak. At 100 TB both sides additionally bucket by coarse time
+    so the band join prunes partitions; the tolerance bound is what
+    keeps per-key candidate counts O(rate x window), independent of
+    history length."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    j = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("purchase_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("purchase_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left",
+    )
+    agg = j.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.min(F.struct("error_ts", "error_id")).alias("m")
+    )
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("m.error_id").alias("error_id"),
+        F.col("m.error_ts").alias("error_ts"),
+        (
+            (F.unix_timestamp("m.error_ts") - F.unix_timestamp("purchase_ts"))
+        ).alias("lag_s"),
+    )

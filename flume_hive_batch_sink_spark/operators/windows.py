@@ -371,3 +371,65 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
         ).alias("sum_last_hour"),
     )
+
+
+@query(
+    "win_streak_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d
+             ) AS INTEGER) AS anchor
+      FROM days
+    ), grp AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_days,
+             MIN(d) AS streak_start
+      FROM isl GROUP BY user_id, anchor
+    ), best AS (
+      SELECT user_id, streak_days, streak_start,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start
+             ) AS rn
+      FROM grp
+    )
+    SELECT user_id, CAST(streak_start AS VARCHAR) AS streak_start,
+           streak_days
+    FROM best WHERE rn = 1
+    """,
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per
+    user (the canonical streak query). ``row_number`` along the day
+    axis minus the day itself is constant within a consecutive run, so
+    one window + one hash-agg finds every island — no self-join, no
+    recursive walk. Both shuffles hash-partition on ``user_id`` (the
+    second on ``user_id, anchor``), so the plan holds at any corpus
+    size: per-user day counts are bounded by the calendar, never by
+    row count. Ties (two equal-length streaks) break on earliest
+    start for a deterministic value-hash."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    grp = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        grp.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            "streak_days",
+        )
+    )
