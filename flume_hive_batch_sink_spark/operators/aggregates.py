@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
@@ -440,4 +441,73 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["sum_qty", "sum_disc", "sum_tax"],
         variableColumnName="metric",
         valueColumnName="val",
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_returnflag
+             ) AS total_w
+      FROM lineitem
+    ), hit AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn
+      FROM ordered WHERE 2 * cw >= total_w
+    )
+    SELECT l_returnflag,
+           ROUND(l_extendedprice, 2) AS weighted_median,
+           CAST(ROUND(total_w, 2) AS DOUBLE) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the total QUANTITY mass
+    sits on each side, per return flag — the robust centre a plain
+    percentile (agg_percentile) can't give when rows carry unequal
+    mass. Classic cumulative-weight construction: one total order per
+    group (tie-broken to a unique key), a running decimal cumsum, and
+    the first row whose doubled cumulative weight reaches the group
+    total. DECIMAL accumulation on both engines makes the crossing
+    index bit-identical regardless of float summation order. One
+    shuffle on the group key; at 100 TB swap the exact sort for
+    approx_percentile on a weight-expanded sketch when ppm error is
+    acceptable."""
+    li = load(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wq = F.col("l_quantity").cast("decimal(18,4)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ctx = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(wq).over(w_cum).alias("cw"),
+        F.sum(wq).over(w_all).alias("total_w"),
+    ).filter(2 * F.col("cw") >= F.col("total_w"))
+    w_pick = Window.partitionBy("l_returnflag").orderBy(*order_cols)
+    return (
+        ctx.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("weighted_median"),
+            F.round("total_w", 2).cast("double").alias("total_weight"),
+        )
     )
