@@ -979,3 +979,228 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_false == 0).alias("precision_ok"),
         (n_hit >= 0.9 * n_true).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (PQ/ADC) — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64-dim -> 8 x 8)
+_PQ_D = 8        # dims per subspace
+_PQ_K = 16       # centroids per subspace codebook (4-bit codes)
+_PQ_ANCHOR_MOD = 5   # codebook anchors: 16 smallest vec_id = 3 (mod 5)
+_PQ_QUERY_MOD = 97   # query set: vec_id = 0 (mod 97)
+
+# Decimal-exact kernels: every per-dim float op is a SINGLE IEEE double
+# op (identical in both engines), immediately rounded to 9 decimals and
+# cast to DECIMAL — all subsequent sums are exact-decimal and therefore
+# independent of summation order (Spark's groupBy partial aggregation
+# order never changes the value-hash).
+_DEC_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(round((x - y) * (x - y), 9) AS DECIMAL(20,9))), "
+    "CAST(0 AS DECIMAL(38,9)), (acc, z) -> CAST(acc + z AS DECIMAL(38,9)))"
+)
+_DEC_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(round(x * y, 9) AS DECIMAL(20,9))), "
+    "CAST(0 AS DECIMAL(38,9)), (acc, z) -> CAST(acc + z AS DECIMAL(38,9)))"
+)
+
+_PQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), anch AS (
+      SELECT vec_id AS cid, e FROM e
+      WHERE vec_id % {_PQ_ANCHOR_MOD} = 3 ORDER BY vec_id LIMIT {_PQ_K}
+    ), sgrid AS (SELECT s FROM range({_PQ_M}) t(s)
+    ), codebook AS (
+      SELECT a.cid, g.s,
+             list_slice(a.e, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS cs
+      FROM anch a, sgrid g
+    ), subv AS (
+      SELECT v.vec_id, g.s,
+             list_slice(v.e, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS vs
+      FROM e v, sgrid g
+    ), enc0 AS (
+      SELECT sv.vec_id, sv.s, cb.cid,
+             list_sum(list_transform(list_zip(sv.vs, cb.cs),
+               x -> CAST(ROUND((x[1] - x[2]) * (x[1] - x[2]), 9)
+                         AS DECIMAL(20,9)))) AS sqd
+      FROM subv sv JOIN codebook cb ON cb.s = sv.s
+    ), codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
+        FROM enc0) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % {_PQ_QUERY_MOD} = 0
+    ), qsub AS (
+      SELECT q.qid, g.s,
+             list_slice(q.qe, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS qs
+      FROM q, sgrid g
+    ), lut AS (
+      SELECT qs.qid, qs.s, cb.cid,
+             list_sum(list_transform(list_zip(qs.qs, cb.cs),
+               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS d
+      FROM qsub qs JOIN codebook cb ON cb.s = qs.s
+    ), adc AS (
+      SELECT l.qid, c.vec_id, SUM(l.d) AS ascore
+      FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+      WHERE c.vec_id <> l.qid GROUP BY l.qid, c.vec_id
+    ), approx AS (
+      SELECT qid, vec_id AS nn_id, ascore,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY ascore DESC, vec_id) AS rk
+      FROM adc
+    ), exact0 AS (
+      SELECT q.qid, v.vec_id,
+             list_sum(list_transform(list_zip(q.qe, v.e),
+               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+      FROM q, e v WHERE v.vec_id <> q.qid
+    ), exact AS (
+      SELECT qid, vec_id, row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, vec_id) AS ek
+      FROM exact0
+    ), hits AS (
+      SELECT a.qid, a.rk, a.nn_id, a.ascore,
+             (x.vec_id IS NOT NULL) AS in_exact10
+      FROM approx a LEFT JOIN (
+        SELECT qid, vec_id FROM exact WHERE ek <= 10) x
+        ON x.qid = a.qid AND x.vec_id = a.nn_id
+      WHERE a.rk <= 10
+    )
+    SELECT qid AS query_id, rk, nn_id,
+           CAST(ROUND(ascore, 6) AS DOUBLE) AS ascore, in_exact10,
+           CAST(SUM(CASE WHEN in_exact10 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY qid) AS DOUBLE) / 10 AS recall10
+    FROM hits
+"""
+
+
+@query("llm_ann_pq", oracle=_PQ_ORACLE)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), maximum-inner-product flavor: 64-dim vectors are split into
+    8 subspaces, each subvector quantized (L2) to one of 16 codebook
+    centroids — a 4-bit-per-subspace code, 64x smaller than the float
+    vector — and queries score candidates by summing 8 lookup-table
+    dot products instead of touching raw vectors. Top-10 per query,
+    with an in-result recall@10 certificate against the exact
+    inner-product ranking.
+
+    The 100 TB story PQ exists for: the corpus side of the search
+    touches ONLY the 8-byte codes (petabyte of floats -> ~16 TB of
+    codes), the per-query LUT is q x 128 tiny rows broadcast, and the
+    scan is one linear pass + a partial-aggregated sum — no shuffle
+    carries raw vectors. Codebooks here are deterministic anchor
+    subvectors (oracle-reproducible, same dataflow as trained ones —
+    swap in _kmeans_centroids per subspace for production). All
+    distance sums are round-then-DECIMAL so partial-aggregation order
+    can never flip a rank (the convention ADVICE.md round-4 asked for
+    on borderline cosine compares).
+
+    Honest certificate note: on this ISOTROPIC random fixture recall@10
+    is ~0.1-0.3 — the known worst case for PQ (no subspace cluster
+    structure, anchor codebooks untrained). Real embedding corpora are
+    low-rank/clustered and trained codebooks recover 0.8+; the
+    certificate column exists precisely to surface that gap rather
+    than hide it (same convention as llm_ann_ivf_kmeans's nprobe
+    analysis)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("e"))
+    anch = e.filter(F.col("vec_id") % _PQ_ANCHOR_MOD == 3).orderBy(
+        "vec_id"
+    ).limit(_PQ_K)
+
+    def _sub_explode(df, vec_col, out_col):
+        pieces = F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vec_col, s * _PQ_D + 1, _PQ_D).alias(out_col),
+            )
+            for s in range(_PQ_M)
+        ])
+        return df.select(
+            *[c for c in df.columns if c != "e"],
+            F.explode(pieces).alias("p"),
+        ).select(
+            *[c for c in df.columns if c != "e"],
+            F.col("p.s").alias("s"),
+            F.col(f"p.{out_col}").alias(out_col),
+        )
+
+    codebook = _sub_explode(
+        anch.select(F.col("vec_id").alias("cid"), "e"), F.col("e"), "cs"
+    )
+    subv = _sub_explode(e, F.col("e"), "vs")
+    enc0 = subv.join(F.broadcast(codebook), "s").withColumn(
+        "sqd", F.expr(_DEC_SQDIST.format(a="vs", b="cs"))
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("sqd", "cid")
+    codes = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+    q = e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    qsub = _sub_explode(
+        q.withColumnRenamed("qe", "e"), F.col("e"), "qs"
+    )
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "qid", "s", "cid", F.expr(_DEC_DOT.format(a="qs", b="cs")).alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("ascore"))
+    )
+    w_rk = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "vec_id")
+    approx = (
+        adc.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 10)
+        .withColumnRenamed("vec_id", "nn_id")
+    )
+
+    exact0 = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_DEC_DOT.format(a="qe", b="e")).alias("score"),
+        )
+    )
+    w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    exact10 = (
+        exact0.withColumn("ek", F.row_number().over(w_ek))
+        .filter(F.col("ek") <= 10)
+        .select("qid", F.col("vec_id").alias("x_id"))
+    )
+    hits = approx.join(
+        exact10,
+        (approx.qid == exact10.qid) & (approx.nn_id == exact10.x_id),
+        "left",
+    ).select(
+        approx.qid,
+        "rk",
+        "nn_id",
+        "ascore",
+        F.col("x_id").isNotNull().alias("in_exact10"),
+    )
+    w_q = Window.partitionBy("qid")
+    return hits.select(
+        F.col("qid").alias("query_id"),
+        "rk",
+        "nn_id",
+        F.round("ascore", 6).cast("double").alias("ascore"),
+        "in_exact10",
+        (
+            F.sum(F.when(F.col("in_exact10"), 1).otherwise(0)).over(w_q)
+            .cast("double") / 10
+        ).alias("recall10"),
+    )
