@@ -339,3 +339,136 @@ def llm_lang_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair-merge training (word-level)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+# Token-stream encoding for exact cross-engine merge semantics: the doc
+# is '|tok||tok||tok|', so the pair (w1, w2) is the literal substring
+# '|w1||w2|' and replace() applies merges non-overlapping left-to-right
+# — exactly BPE's greedy application order — with no shared-delimiter
+# ambiguity ('a b a b' merges both occurrences; 'a a a' merges once).
+def _bpe_oracle() -> str:
+    parts = [
+        """
+    WITH s0 AS (
+      SELECT doc_id, '|' || replace(text, ' ', '||') || '|' AS s
+      FROM documents
+    )"""
+    ]
+    for r in range(_BPE_ROUNDS):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2 FROM (
+        SELECT t, unnest(range(1, len(t))) AS i FROM (
+          SELECT string_split(substr(s, 2, length(s) - 2), '||') AS t
+          FROM s{r}))
+    ), b{r} AS (
+      SELECT w1, w2 FROM p{r}
+      GROUP BY w1, w2 ORDER BY count(*) DESC, w1, w2 LIMIT 1
+    ), s{r + 1} AS (
+      SELECT doc_id,
+             replace(s,
+               '|' || (SELECT w1 FROM b{r}) || '||'
+                   || (SELECT w2 FROM b{r}) || '|',
+               '|' || (SELECT w1 FROM b{r}) || '_'
+                   || (SELECT w2 FROM b{r}) || '|') AS s
+      FROM s{r}
+    )""")
+    parts.append(f"""
+    , tok AS (
+      SELECT unnest(string_split(substr(s, 2, length(s) - 2), '||')) AS token
+      FROM s{_BPE_ROUNDS}
+    ), cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), top AS (
+      SELECT 'top' AS part, rk, token, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM cnt) WHERE rk <= 20
+    ), merged AS (
+      SELECT 'merged' AS part,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rk, token, cnt
+      FROM cnt WHERE token LIKE '%\\_%' ESCAPE '\\'
+    )
+    SELECT * FROM top UNION ALL SELECT * FROM merged
+    """)
+    return "".join(parts)
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle())
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style tokenizer training, word-pair level: 4
+    merge rounds, each = count all adjacent token pairs across the
+    corpus (one map-side-combined hash agg), pick the most frequent
+    pair (deterministic lexicographic tiebreak), and apply the merge
+    corpus-wide as a single literal string replace — merged tokens
+    participate in later rounds, so merges cascade exactly like BPE.
+    Output: final top-20 vocabulary + every merge-created token, with
+    counts.
+
+    The 100 TB shape of tokenizer training: per round, ONLY (pair,
+    partial-count) rows shuffle — the corpus itself never moves, and
+    the merge application is a map-only pass. The per-round driver
+    pull is one 2-string row (the argmax pair — the scalar-certificate
+    convention), so rounds serialize on a tiny barrier, not data. Real
+    BPE does ~30k rounds at char level with an in-memory delta
+    structure; the 4-round word-level form here exercises the same
+    distributed dataflow with an exactly-replayable oracle (the
+    pair-encoded '|w1||w2|' string makes greedy non-overlapping merge
+    order identical in both engines)."""
+    d = load(spark, sf_dir, "documents")
+    state = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("|"), F.replace(F.col("text"), F.lit(" "), F.lit("||")), F.lit("|")
+        ).alias("s"),
+    )
+    for _ in range(_BPE_ROUNDS):
+        toks = state.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\|\\|").alias("t")
+        )
+        pairs = toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("p")
+        ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        best = (
+            pairs.groupBy("w1", "w2")
+            .count()
+            .orderBy(F.col("count").desc(), "w1", "w2")
+            .limit(1)
+            .collect()[0]
+        )
+        pat = f"|{best.w1}||{best.w2}|"
+        rep = f"|{best.w1}_{best.w2}|"
+        state = state.withColumn(
+            "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+        )
+    cnt = (
+        state.select(
+            F.explode(
+                F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_all = Window.orderBy(F.col("cnt").desc(), "token")
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w_all))
+        .filter(F.col("rk") <= 20)
+        .select(F.lit("top").alias("part"), "rk", "token", "cnt")
+    )
+    merged_cnt = cnt.filter(F.col("token").contains("_"))
+    w_m = Window.orderBy(F.col("cnt").desc(), "token")
+    merged = merged_cnt.withColumn("rk", F.row_number().over(w_m)).select(
+        F.lit("merged").alias("part"), "rk", "token", "cnt"
+    )
+    return top.unionByName(merged)
