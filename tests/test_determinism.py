@@ -64,6 +64,17 @@ RISKY = [
     "etl_zorder_layout",
     "etl_incremental_agg_merge",
     "etl_table_diff",
+    # round-5 continuation: PQ codes/ranking, BPE argmax-merge loop,
+    # reservoir hash ranks, CDC last-writer ranks, streak tie-breaks,
+    # weighted-median crossing index, overwrite read-back
+    "llm_ann_pq",
+    "llm_bpe_merges",
+    "sample_reservoir_group",
+    "etl_cdc_apply",
+    "win_streak_islands",
+    "ts_asof_tolerance",
+    "agg_weighted_median",
+    "etl_dynamic_partition_overwrite",
 ]
 
 

@@ -483,3 +483,44 @@ def test_jpeg_decode_reads_only_vec_id(spark):
     read_schema = p.split("ReadSchema")[1].split("\n")[0]
     assert "vec_id" in read_schema
     assert "embedding" not in read_schema and "label" not in read_schema
+
+
+def test_pq_adc_no_cartesian_and_codes_join_broadcast(spark):
+    """llm_ann_pq: the ADC scan must join codes against a BROADCAST LUT
+    (the corpus side never shuffles raw vectors) and the only
+    nested-loop join allowed is the tiny broadcast query fan-out of the
+    exact-recall certificate — never a CartesianProduct."""
+    p = plan(registry.QUERIES["llm_ann_pq"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_asof_tolerance_is_hash_join_with_band_residual(spark):
+    """ts_asof_tolerance: the bounded-tolerance as-of must plan as an
+    equi join on user_id (hash or sort-merge) with the time band as a
+    residual condition — a cartesian or nested-loop plan here would be
+    the O(n^2) formulation the tolerance bound exists to avoid."""
+    p = plan(registry.QUERIES["ts_asof_tolerance"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_streak_windows_are_user_partitioned(spark):
+    """win_streak_islands: both windows must hash-partition on user_id —
+    no SinglePartition window anywhere (the global-window trap that
+    serializes one reducer at scale)."""
+    p = plan(registry.QUERIES["win_streak_islands"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+
+
+def test_cdc_apply_single_exchange_on_key(spark):
+    """etl_cdc_apply: the recency rank and the op count share one hash
+    partitioning on user_id — applying a change log costs exactly one
+    shuffle of the log."""
+    p = plan(registry.QUERIES["etl_cdc_apply"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
