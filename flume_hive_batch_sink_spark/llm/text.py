@@ -472,3 +472,58 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("merged").alias("part"), "rk", "token", "cnt"
     )
     return top.unionByName(merged)
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+    ), tot AS (SELECT SUM(cnt) AS n FROM vocab
+    ), scored AS (
+      SELECT wd.doc_id,
+             CAST(ROUND(-ln(CAST(v.cnt AS DOUBLE) / t.n), 9)
+                  AS DECIMAL(20,9)) AS nll_term
+      FROM words wd JOIN vocab v ON wd.w = v.w, tot t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(nll_term) AS DOUBLE) / count(*), 6)
+                AS DOUBLE) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet/KenLM quality-filter
+    proxy: train a unigram LM on the corpus itself (one word-count hash
+    agg), then score every document by its average negative
+    log-likelihood. Low avg_nll = repetitive/common-word documents,
+    high = rare-token noise; curation pipelines threshold both tails.
+    Dataflow at 100 TB: vocabulary counting is map-side combinable;
+    scoring re-joins tokens to the vocab on the word key (the vocab is
+    Zipf-compact — broadcastable for most corpora, else a shuffle on
+    the word key whose skew IS the Zipf head, mitigated by map-side
+    combine since duplicate (doc, word) pairs pre-aggregate). Each
+    -ln p term is rounded then DECIMAL-summed so per-doc totals are
+    aggregation-order-free across engines."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("cnt").cast("double") / F.col("n")), 9)
+            .cast("decimal(20,9)")
+            .alias("nll_term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("nll_term").cast("double") / F.count("*"), 6
+        ).alias("avg_nll"),
+    )

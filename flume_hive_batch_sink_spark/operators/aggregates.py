@@ -511,3 +511,59 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_w", 2).cast("double").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY dt, event_type
+    ), tot AS (
+      SELECT dt, SUM(n) AS total, CAST(count(*) AS BIGINT) AS n_types
+      FROM cnt GROUP BY dt
+    )
+    SELECT c.dt, t.n_types,
+           CAST(ROUND(SUM(CAST(ROUND(
+             -(CAST(c.n AS DOUBLE) / t.total)
+               * ln(CAST(c.n AS DOUBLE) / t.total), 9) AS DECIMAL(20,9))),
+             6) AS DOUBLE) AS entropy,
+           CAST(ROUND(SUM(CAST(ROUND(
+             (CAST(c.n AS DOUBLE) / t.total)
+               * (CAST(c.n AS DOUBLE) / t.total), 9) AS DECIMAL(20,9))),
+             6) AS DOUBLE) AS gini_sum
+    FROM cnt c JOIN tot t ON c.dt = t.dt
+    GROUP BY c.dt, t.n_types
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional diversity metrics per day — Shannon entropy and
+    the Simpson/Gini concentration Σp² of the event-type mix (the
+    balance checks a training-data pipeline runs per source/shard).
+    Two chained hash aggs (category counts → per-group totals → metric
+    sum), all map-side combinable. Each -p·ln p term is one IEEE
+    double expression rounded to 9 decimals and cast DECIMAL before
+    the final sum, so aggregation order can never wiggle the 6-decimal
+    output (the repo's round-then-DECIMAL convention for float sums
+    across engines)."""
+    ev = load(spark, sf_dir, "events")
+    cnt = (
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cnt.groupBy("dt").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    ent_term = F.round(-p * F.log(p), 9).cast("decimal(20,9)")
+    gini_term = F.round(p * p, 9).cast("decimal(20,9)")
+    return (
+        cnt.join(tot, "dt")
+        .groupBy("dt", "n_types")
+        .agg(
+            F.round(F.sum(ent_term), 6).cast("double").alias("entropy"),
+            F.round(F.sum(gini_term), 6).cast("double").alias("gini_sum"),
+        )
+    )

@@ -656,3 +656,67 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ROUND(d.adev, 9) >
+                              ROUND(3 * 1.4826 * m.mad, 9)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(m.mad, 6) AS mad
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.mad
+    """,
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit via median absolute deviation — the
+    data-quality gate that survives the heavy tails that break
+    z-scores: per group, flag rows whose |value − median| exceeds
+    3·1.4826·MAD (the Gaussian-consistent robust sigma). Two exact
+    median passes (each one hash agg) + a broadcast-joined flagging
+    pass; the compare rounds both sides to 9 decimals so a last-ulp
+    interpolated-median divergence can't flip a flag count across
+    engines. At 100 TB swap exact medians for approx_percentile
+    digests — the dataflow (aggregate → broadcast → map-only flag)
+    is unchanged."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.round(F.col("adev"), 9) > F.round(3 * 1.4826 * F.col("mad"), 9)
+    return flagged.groupBy("event_type", "mad").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.min("med"), 6).alias("med"),
+    ).select(
+        "event_type",
+        "n_rows",
+        "n_outliers",
+        "med",
+        F.round("mad", 6).alias("mad"),
+    )

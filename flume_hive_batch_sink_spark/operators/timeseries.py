@@ -380,3 +380,90 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("m.error_ts") - F.unix_timestamp("purchase_ts"))
         ).alias("lag_s"),
     )
+
+
+# EWMA over the trailing 8 events, alpha = 0.5: weights (1-alpha)^j are
+# exact binary fractions with exact short decimal forms, so every
+# per-term multiply is a single IEEE op identical across engines and
+# the round-then-DECIMAL sum is aggregation-order-free.
+_EWMA_SPAN = 8
+_EWMA_W = [0.5 ** j for j in range(_EWMA_SPAN)]
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(value, {j}) OVER w AS v{j}" for j in range(1, _EWMA_SPAN)
+    )
+    num = " + ".join(
+        "CAST(ROUND({v} * {w!r}, 9) AS DECIMAL(20,9))".format(
+            v=("value" if j == 0 else f"coalesce(v{j}, 0)"), w=_EWMA_W[j]
+        )
+        for j in range(_EWMA_SPAN)
+    )
+    den = " + ".join(
+        "CAST(CASE WHEN {p} THEN {w!r} ELSE 0 END AS DECIMAL(20,9))".format(
+            p=("true" if j == 0 else f"v{j} IS NOT NULL"), w=_EWMA_W[j]
+        )
+        for j in range(_EWMA_SPAN)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_id, user_id, value,
+             {lag_cols}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(({num}) AS DOUBLE)
+                      / CAST(({den}) AS DOUBLE), 6) AS DOUBLE) AS ewma
+    FROM seq
+    """
+
+
+@query("ts_ewma_window", oracle=_ewma_oracle())
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5) over each
+    user's trailing 8 events — the streaming smoother, expressed
+    windowed: EWMA's infinite recursion is truncated at span 8 (weight
+    remainder 2^-8 < 0.4%), which turns the sequential recurrence into
+    8 lag() columns on ONE user-partitioned window — no recursion, no
+    UDF, one shuffle, O(span) state per row. Early rows renormalize
+    over the weights actually present (the standard adjust=True
+    convention). All terms round-then-DECIMAL; the 0.5^j weights are
+    exact binary fractions so both engines multiply identical
+    doubles."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, _EWMA_SPAN)
+    ]
+    seq = ev.select("event_id", "user_id", "value", *lags)
+    num_terms = [
+        F.round(
+            (F.col("value") if j == 0 else F.coalesce(F.col(f"v{j}"), F.lit(0.0)))
+            * F.lit(_EWMA_W[j]),
+            9,
+        ).cast("decimal(20,9)")
+        for j in range(_EWMA_SPAN)
+    ]
+    den_terms = [
+        (
+            F.lit(_EWMA_W[j]).cast("decimal(20,9)")
+            if j == 0
+            else F.when(
+                F.col(f"v{j}").isNotNull(), F.lit(_EWMA_W[j])
+            ).otherwise(F.lit(0.0)).cast("decimal(20,9)")
+        )
+        for j in range(_EWMA_SPAN)
+    ]
+    num = num_terms[0]
+    for t in num_terms[1:]:
+        num = num + t
+    den = den_terms[0]
+    for t in den_terms[1:]:
+        den = den + t
+    return seq.select(
+        "event_id",
+        "user_id",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )

@@ -433,3 +433,51 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_days",
         )
     )
+
+
+@query(
+    "win_event_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS nxt1,
+             lead(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hits AS (
+      SELECT user_id, ts FROM seq
+      WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM hits GROUP BY user_id
+    """,
+)
+def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous event-sequence detection (the MATCH_RECOGNIZE
+    PATTERN (view click purchase) with strict contiguity): a match is
+    three CONSECUTIVE events of one user forming the exact funnel —
+    unlike pipeline_funnel's stage-reachability semantics, intervening
+    events break the pattern. Expressed as two lead() columns over one
+    user-partitioned window — pattern length k costs k-1 leads on the
+    SAME window (one shuffle, no self-joins), which is how fixed-length
+    sequence patterns should compile at 100 TB. (ts, event_id) total
+    order keeps match positions deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("nxt1") == "click")
+        & (F.col("nxt2") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )

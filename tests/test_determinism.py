@@ -75,6 +75,11 @@ RISKY = [
     "ts_asof_tolerance",
     "agg_weighted_median",
     "etl_dynamic_partition_overwrite",
+    "agg_entropy",
+    "llm_unigram_logprob",
+    "dq_anomaly_mad",
+    "ts_ewma_window",
+    "win_event_pattern",
 ]
 
 
