@@ -996,15 +996,20 @@ _PQ_QUERY_MOD = 97   # query set: vec_id = 0 (mod 97)
 # cast to DECIMAL — all subsequent sums are exact-decimal and therefore
 # independent of summation order (Spark's groupBy partial aggregation
 # order never changes the value-hash).
+# Accumulator precision matters: DECIMAL(38,9) + DECIMAL(20,9) needs
+# precision 39, so Spark's overflow rule silently DROPS the scale to 8
+# (a real 1e-8-level divergence caught by the sf1 oracle sweep); a
+# (28,9) accumulator keeps the addition at precision 29 — exact, full
+# scale, and identical to DuckDB's list_sum.
 _DEC_SQDIST = (
     "aggregate(zip_with({a}, {b}, (x, y) -> "
     "CAST(round((x - y) * (x - y), 9) AS DECIMAL(20,9))), "
-    "CAST(0 AS DECIMAL(38,9)), (acc, z) -> CAST(acc + z AS DECIMAL(38,9)))"
+    "CAST(0 AS DECIMAL(28,9)), (acc, z) -> CAST(acc + z AS DECIMAL(28,9)))"
 )
 _DEC_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> "
     "CAST(round(x * y, 9) AS DECIMAL(20,9))), "
-    "CAST(0 AS DECIMAL(38,9)), (acc, z) -> CAST(acc + z AS DECIMAL(38,9)))"
+    "CAST(0 AS DECIMAL(28,9)), (acc, z) -> CAST(acc + z AS DECIMAL(28,9)))"
 )
 
 _PQ_ORACLE = f"""
@@ -1071,7 +1076,7 @@ _PQ_ORACLE = f"""
       WHERE a.rk <= 10
     )
     SELECT qid AS query_id, rk, nn_id,
-           CAST(ROUND(ascore, 6) AS DOUBLE) AS ascore, in_exact10,
+           CAST(ascore AS DOUBLE) AS ascore, in_exact10,
            CAST(SUM(CASE WHEN in_exact10 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY qid) AS DOUBLE) / 10 AS recall10
     FROM hits
@@ -1197,7 +1202,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("query_id"),
         "rk",
         "nn_id",
-        F.round("ascore", 6).cast("double").alias("ascore"),
+        F.col("ascore").cast("double").alias("ascore"),
         "in_exact10",
         (
             F.sum(F.when(F.col("in_exact10"), 1).otherwise(0)).over(w_q)

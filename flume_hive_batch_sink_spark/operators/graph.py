@@ -265,3 +265,84 @@ def graph_pointer_doubling_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptr.select(
         "node", F.col("d").alias("depth"), F.col("anc").alias("root")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [f"""
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS c, {_S_OFFSET} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e0 AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM p
+      UNION ALL
+      SELECT s AS src, c AS dst FROM p
+    )"""]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(f"""
+    , k{r} AS MATERIALIZED (
+      SELECT src FROM e{r} GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ), e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      WHERE e.src IN (SELECT src FROM k{r})
+        AND e.dst IN (SELECT src FROM k{r})
+    )""")
+    R = _KCORE_ROUNDS
+    parts.append(f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg,
+           (SELECT count(DISTINCT src) FROM e{R - 1})
+             = (SELECT count(DISTINCT src) FROM e{R}) AS converged
+    FROM e{R} GROUP BY src
+    """)
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) by iterative peeling: each round
+    drops nodes of degree < k and the edges touching them; survivors
+    of round R approximate the 3-core (exactly the 3-core once stable
+    — the in-result `converged` bit certifies whether the fixed point
+    was reached within the round budget, same honest-certificate
+    convention as the sketches).
+
+    Scale shape per round: one map-side-combinable degree agg + two
+    semi joins that ship ONLY the surviving node ids — the edge list
+    shrinks monotonically, so later rounds cost less, and the whole
+    peel is integer arithmetic (no float drift risk between engines).
+    Six fixed rounds keep the oracle an unrolled CTE chain; production
+    would loop on the scalar convergence count (the same driver-side
+    scalar this operator pulls only for the certificate)."""
+    edges = _cs_edges(spark, sf_dir)
+    # Eager localCheckpoint per round: `e` feeds BOTH the degree agg and
+    # the semi-join, so without lineage truncation the un-materialized
+    # plan doubles every round (2^R blowup — measured 467 s at sf0.01;
+    # 3.6 s with checkpoints). Same pattern as llm/clusters.py's CC loop.
+    e = edges
+    n_prev = n_final = -1
+    for r in range(_KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        if r == _KCORE_ROUNDS - 2:
+            n_prev = e.select("src").distinct().count()
+        elif r == _KCORE_ROUNDS - 1:
+            n_final = e.select("src").distinct().count()
+    return e.groupBy("src").agg(
+        F.count("*").cast("long").alias("core_deg")
+    ).select(
+        F.col("src").alias("node"),
+        "core_deg",
+        F.lit(n_prev == n_final).alias("converged"),
+    )

@@ -670,3 +670,82 @@ def filter_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "not_in_nonnull BIGINT, not_in_with_null BIGINT, "
         "not_exists_with_null BIGINT",
     )
+
+
+@query(
+    "join_range_pointin",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt, ts,
+             row_number() OVER (
+               PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY event_type, strftime(ts, '%Y-%m-%d')) AS n
+      FROM events
+    ), bursts AS (
+      SELECT event_type AS burst_type, dt,
+             MIN(CASE WHEN rn = (n + 3) // 4 THEN ts END) AS lo,
+             MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN ts END) AS hi
+      FROM ranked GROUP BY event_type, dt
+    )
+    SELECT b.burst_type, b.dt,
+           CAST(count(*) AS BIGINT) AS n_in_burst,
+           CAST(date_diff('second', b.lo, b.hi) AS BIGINT) AS burst_len_s
+    FROM events e
+    JOIN bursts b
+      ON strftime(e.ts, '%Y-%m-%d') = b.dt
+     AND e.ts >= b.lo AND e.ts <= b.hi
+     AND e.event_type <> b.burst_type
+    GROUP BY b.burst_type, b.dt, b.lo, b.hi
+    """,
+)
+def join_range_pointin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join against a derived interval
+    dimension: each (event_type, day) contributes one 'burst' window
+    [rank-25% ts, rank-75% ts], and the fact side counts OTHER types'
+    events landing inside it (the 'what happened during the incident
+    window' telemetry query). The interval dim is tiny (types x days)
+    and BROADCAST, so the range join is one map-only pass over the
+    fact table with the band as residual — the right plan whenever
+    intervals are few and points are many; the dt equi-key additionally
+    partition-prunes on a date-partitioned table. Interval bounds are
+    RANK-SELECTED (integer (n+3) div 4 — no percentile interpolation),
+    so boundary membership is integer-exact across engines."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("event_type", "dt").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "dt")
+    ranked = ev.select(
+        "event_type",
+        "dt",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    bursts = ranked.groupBy(
+        F.col("event_type").alias("burst_type"), F.col("dt").alias("bdt")
+    ).agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("ts"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("ts"))
+        ).alias("hi"),
+    )
+    j = ev.join(
+        F.broadcast(bursts),
+        (F.col("dt") == F.col("bdt"))
+        & (F.col("ts") >= F.col("lo"))
+        & (F.col("ts") <= F.col("hi"))
+        & (F.col("event_type") != F.col("burst_type")),
+    )
+    return j.groupBy("burst_type", "bdt", "lo", "hi").agg(
+        F.count("*").alias("n_in_burst")
+    ).select(
+        "burst_type",
+        F.col("bdt").alias("dt"),
+        "n_in_burst",
+        (F.unix_timestamp("hi") - F.unix_timestamp("lo")).alias("burst_len_s"),
+    )
