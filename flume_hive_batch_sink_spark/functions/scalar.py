@@ -391,3 +391,100 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+@query(
+    "fn_url_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                      ELSE source END)
+             || '.Example.com'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/docs//' || doc_id
+             || '?v=' || n_chars || '&lang=' || lang
+             || '#sec' || (doc_id % 5) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM u
+    ), norm AS (
+      SELECT doc_id, scheme,
+             regexp_replace(hostport, ':(443|80)$', '') AS host,
+             regexp_replace(path, '//+', '/', 'g') AS npath,
+             array_to_string(list_sort(string_split(qs, '&')), '&') AS nqs
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host || npath || '?' || nqs AS url_norm,
+           host,
+           CAST(len(string_split(nqs, '&')) AS INT) AS n_params
+    FROM norm
+    """,
+)
+def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass that must run
+    BEFORE any URL-keyed dedup or host aggregation (llm_url_host_filter
+    counts hosts; this makes textually-different URLs of the same
+    resource compare equal): lowercase scheme+host, strip default
+    ports (:443/:80), collapse duplicate path slashes, SORT query
+    parameters, drop fragments. The fixture synthesizes deliberately
+    messy URLs (mixed case, optional default port, unsorted params,
+    fragment) from (source, lang, doc_id). Everything is JVM-side
+    regexp/array codegen — no UDF — so at 100 TB this is a free
+    map-side stage fused into the scan."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS").otherwise("https"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/docs//"),
+        F.col("doc_id").cast("string"),
+        F.lit("?v="),
+        F.col("n_chars").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    parts = d.select(
+        "doc_id",
+        url.alias("url"),
+    ).select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(
+            F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+        ).alias("hostport"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias(
+            "path"
+        ),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("qs"),
+    )
+    norm = parts.select(
+        "doc_id",
+        "scheme",
+        F.regexp_replace("hostport", r":(443|80)$", "").alias("host"),
+        F.regexp_replace("path", r"//+", "/").alias("npath"),
+        F.array_join(F.array_sort(F.split("qs", "&")), "&").alias("nqs"),
+    )
+    return norm.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("npath"),
+            F.lit("?"), F.col("nqs"),
+        ).alias("url_norm"),
+        "host",
+        F.size(F.split("nqs", "&")).alias("n_params"),
+    )

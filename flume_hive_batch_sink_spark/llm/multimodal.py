@@ -833,3 +833,93 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "vec_id BIGINT, width INT, height INT, n_px BIGINT, csum BIGINT, wsum BIGINT",
     )
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit average-hash over REAL decoded pixels: nearest-neighbor
+    8x8 grid sample, integer luma (77R+150G+29B)>>8, bit = sample >=
+    grid mean (integer-exact as 64*luma >= total). Split hi/lo 32-bit
+    halves so the value stays in signed BIGINT range."""
+    for pdf in batches:
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            w, h, rows = decode_image(bytes(payload))
+            samples = []
+            for j in range(8):
+                sy = (j * h) // 8
+                for i in range(8):
+                    sx = (i * w) // 8
+                    r, g, b = rows[sy][sx]
+                    samples.append((77 * r + 150 * g + 29 * b) // 256)
+            total = sum(samples)
+            hi = lo = 0
+            for idx, l in enumerate(samples):
+                if 64 * l >= total:
+                    if idx < 32:
+                        lo |= 1 << idx
+                    else:
+                        hi |= 1 << (idx - 32)
+            recs.append((int(vid), hi, lo))
+        yield pd.DataFrame(recs, columns=["vec_id", "phash_hi", "phash_lo"])
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH img AS (
+      SELECT vec_id, CAST(4 + vec_id % 13 AS BIGINT) AS w,
+             CAST(3 + (vec_id * 7) % 11 AS BIGINT) AS h
+      FROM embeddings WHERE vec_id % 3 < 2
+    ), dims AS (SELECT DISTINCT w, h FROM img
+    ), grid AS (SELECT a.j, b.i FROM range(8) a(j), range(8) b(i)
+    ), samp AS (
+      SELECT d.w, d.h, g.j, g.i,
+             (77 * (((g.i * d.w) // 8 + (g.j * d.h) // 8) % 256)
+            + 150 * (((g.i * d.w) // 8) % 256)
+            + 29 * (((g.j * d.h) // 8) % 256)) // 256 AS luma
+      FROM dims d, grid g
+    ), tot AS (
+      SELECT w, h, SUM(luma) AS total FROM samp GROUP BY w, h
+    ), bits AS (
+      SELECT s.w, s.h, 8 * s.j + s.i AS idx,
+             CASE WHEN 64 * s.luma >= t.total THEN 1 ELSE 0 END AS bit
+      FROM samp s JOIN tot t ON s.w = t.w AND s.h = t.h
+    ), ph AS (
+      SELECT w, h,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN bit * (CAST(1 AS BIGINT) << idx)
+                           ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM bits GROUP BY w, h
+    )
+    SELECT p.phash_hi, p.phash_lo,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(MIN(i.vec_id) AS BIGINT) AS min_vec_id
+    FROM img i JOIN ph p ON i.w = p.w AND i.h = p.h
+    GROUP BY p.phash_hi, p.phash_lo
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of exact text
+    dedup: every image (REAL BMP/PNG payloads, decoded by the repo's
+    pure-Python parsers inside `mapInPandas`) is reduced to a 64-bit
+    average-hash, and identical hashes form duplicate groups (one hash
+    agg). The aHash pipeline (downsample -> luma -> mean-threshold
+    bits) uses ONLY integer arithmetic, so the oracle replays every
+    bit analytically from the generative pixel formula — the decode
+    path is the system under test, the hash is its checksum.
+
+    100 TB shape: decode+hash is embarrassingly parallel Arrow batches
+    (payload bytes never shuffle); only 16-byte hash rows reach the
+    exchange. Near-dup (Hamming<=k) extends this with band-bucketing
+    on hash bytes — same LSH dataflow as llm_near_dedup_minhash."""
+    imgs = media_table(spark, sf_dir, "image")
+    hashed = imgs.mapInPandas(
+        _phash_kernel, "vec_id BIGINT, phash_hi BIGINT, phash_lo BIGINT"
+    )
+    return hashed.groupBy("phash_hi", "phash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

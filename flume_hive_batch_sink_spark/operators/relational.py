@@ -749,3 +749,72 @@ def join_range_pointin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_burst",
         (F.unix_timestamp("hi") - F.unix_timestamp("lo")).alias("burst_len_s"),
     )
+
+
+@query(
+    "join_temporal_validity",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             event_id AS version_id, ROUND(value, 2) AS version_value
+      FROM events WHERE event_type = 'signup'
+    ), fact AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_id, f.user_id, f.purchase_ts,
+           d.version_id, d.valid_from, d.version_value
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.purchase_ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+    """,
+)
+def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity (bitemporal point-in-version) join: each fact
+    row picks the SCD2 dimension version whose [valid_from, valid_to)
+    interval covers the fact timestamp — the join every star schema
+    with type-2 history runs on every query. Because validity intervals
+    PARTITION each key's timeline (built by etl_scd2_history's lead()
+    construction), the band predicate matches at most one version per
+    fact — no dedup pass needed. Plan: equi join on user_id with the
+    interval residual; at 100 TB both sides bucket by the key and the
+    dim is usually small enough to broadcast. Facts predating the
+    first version surface with NULL version columns (audit rows), not
+    silently dropped."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+        F.col("event_id").alias("version_id"),
+        F.round("value", 2).alias("version_value"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = fact.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("purchase_ts") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("purchase_ts") < F.col("valid_to"))
+        ),
+        "left",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "version_id",
+        "valid_from",
+        "version_value",
+    )
