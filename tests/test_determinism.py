@@ -80,6 +80,11 @@ RISKY = [
     "dq_anomaly_mad",
     "ts_ewma_window",
     "win_event_pattern",
+    "graph_kcore",
+    "join_range_pointin",
+    "join_temporal_validity",
+    "multimodal_phash_dedup",
+    "fn_url_normalize",
 ]
 
 

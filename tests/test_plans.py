@@ -524,3 +524,19 @@ def test_cdc_apply_single_exchange_on_key(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_pointin_burst_dim_broadcast(spark):
+    """join_range_pointin: the derived interval dimension (types x days)
+    must broadcast — the fact side is a single map-only pass with the
+    band residual, never a shuffle on the fact."""
+    p = plan(registry.QUERIES["join_range_pointin"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_temporal_validity_equi_with_residual(spark):
+    """join_temporal_validity: point-in-version must stay an equi join
+    on user_id with the interval as residual — not nested-loop."""
+    p = plan(registry.QUERIES["join_temporal_validity"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
