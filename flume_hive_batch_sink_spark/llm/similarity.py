@@ -1209,3 +1209,69 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / 10
         ).alias("recall10"),
     )
+
+
+@query(
+    "llm_embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), stats AS (
+      SELECT vec_id, e,
+             list_min(e) AS lo, list_max(e) AS hi
+      FROM e
+    ), q AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(ROUND(
+               CAST(ROUND((x - lo) * 255 / (hi - lo), 9) AS DECIMAL(18,9)),
+               0) AS BIGINT)) AS codes,
+             lo, hi
+      FROM stats
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS qsum,
+           CAST(list_min(codes) AS BIGINT) AS qmin,
+           CAST(list_max(codes) AS BIGINT) AS qmax,
+           ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi
+    FROM q
+    """,
+)
+def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (asymmetric min/max) quantization of the
+    embedding column — the 4x storage/bandwidth cut every
+    vector-serving layer applies before ANN search. Each dim maps to
+    round((x - lo) * 255 / (hi - lo)); codes 0..255 plus the two
+    float scale anchors reconstruct x to within half a step. The
+    quantization ratio is rounded to 9 decimals and cast DECIMAL
+    BEFORE the final integer round, so the code assignment is
+    identical across engines (the repo's round-then-DECIMAL boundary
+    convention). Map-only — no shuffle at all: quantization fuses
+    into the scan, and downstream ANN (llm_ann_pq) consumes the
+    codes. Output certifies per-vector code stats + anchors."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("e"))
+    stats = e.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("lo"),
+        F.array_max("e").alias("hi"),
+    )
+    codes = F.transform(
+        F.col("e"),
+        lambda x: F.round(
+            F.round((x - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")), 9)
+            .cast("decimal(18,9)"),
+            0,
+        ).cast("long"),
+    )
+    q = stats.select("vec_id", codes.alias("codes"), "lo", "hi")
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("qsum"),
+        F.array_min("codes").alias("qmin"),
+        F.array_max("codes").alias("qmax"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    )

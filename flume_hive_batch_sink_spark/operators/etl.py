@@ -720,3 +720,59 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.round("mad", 6).alias("mad"),
     )
+
+
+@query(
+    "dq_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n_keys
+      FROM per_key
+    )
+    SELECT MIN(n_keys) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_rows,
+           CAST(MIN(CASE WHEN rk = (n_keys + 99) // 100 THEN n END)
+                AS BIGINT) AS p99_rows,
+           CAST(ROUND(MAX(n) * MIN(n_keys) /
+                      CAST(SUM(n) AS DOUBLE), 4) AS DOUBLE) AS skew_ratio
+    FROM ranked
+    """,
+)
+def dq_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a prospective partition key: per-key row
+    counts reduced to the metrics that predict whether a join/agg on
+    this key survives 1000 executors — max key size, rank-selected
+    p99, and skew_ratio = max/avg (1.0 = uniform; >> 1 = one reducer
+    eats the key). THE diagnostic to run before choosing bucket
+    columns or deciding a salted join is needed (join_skew_salted is
+    the mitigation this audit triggers). One hash agg on the key +
+    one tiny metric pass; the p99 is rank-selected (integer
+    (n_keys+99) div 100), not interpolated. The global rank window runs
+    over the KEY-COUNT relation (|keys| rows, not |rows|) — the same
+    bounded-cardinality exemption as the vocabulary ranks in
+    llm_bpe_merges; never put it on the raw fact table."""
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_key.select(
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_keys"),
+    )
+    return ranked.agg(
+        F.min("n_keys").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.min(
+            F.when(F.col("rk") == F.expr("(n_keys + 99) div 100"), F.col("n"))
+        ).alias("p99_rows"),
+        F.round(
+            F.max("n") * F.min("n_keys") / F.sum("n").cast("double"), 4
+        ).cast("double").alias("skew_ratio"),
+    )

@@ -85,6 +85,8 @@ RISKY = [
     "join_temporal_validity",
     "multimodal_phash_dedup",
     "fn_url_normalize",
+    "llm_embed_quantize_int8",
+    "dq_skew_audit",
 ]
 
 
