@@ -923,3 +923,98 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_VAD_FRAME = 16          # samples per frame
+_VAD_THRESHOLD = 512 * _VAD_FRAME  # sum|s| >= mean |s| of 512
+
+
+def _vad_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-energy voice-activity detection over REAL decoded PCM:
+    16-sample frames, a frame is active when sum(|sample|) clears the
+    threshold, segments are maximal runs of active frames. All-integer
+    arithmetic end to end."""
+    for pdf in batches:
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            _, n, samples = decode_wav(bytes(payload))
+            n_frames = n // _VAD_FRAME
+            active = [
+                sum(
+                    abs(s)
+                    for s in samples[f * _VAD_FRAME:(f + 1) * _VAD_FRAME]
+                )
+                >= _VAD_THRESHOLD
+                for f in range(n_frames)
+            ]
+            n_active = sum(active)
+            n_segments = longest = run = 0
+            for a in active:
+                if a:
+                    run += 1
+                    if run == 1:
+                        n_segments += 1
+                    longest = max(longest, run)
+                else:
+                    run = 0
+            recs.append((int(vid), n_frames, n_active, n_segments, longest))
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "vec_id", "n_frames", "n_active", "n_segments", "longest_run",
+            ],
+        )
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH wav AS (
+      SELECT vec_id, CAST(64 + vec_id % 64 AS BIGINT) AS n
+      FROM embeddings WHERE vec_id % 3 = 2
+    ), samp AS (
+      SELECT w.vec_id, CAST(i.i // {_VAD_FRAME} AS BIGINT) AS f,
+             abs(((w.vec_id * 31 + i.i * 17) % 2048) - 1024) AS a
+      FROM wav w, LATERAL (SELECT unnest(range(w.n)) AS i) i
+      WHERE i.i < (w.n // {_VAD_FRAME}) * {_VAD_FRAME}
+    ), frames AS (
+      SELECT vec_id, f, (SUM(a) >= {_VAD_THRESHOLD}) AS active
+      FROM samp GROUP BY vec_id, f
+    ), runs AS (
+      SELECT vec_id, f,
+             f - row_number() OVER (
+               PARTITION BY vec_id ORDER BY f) AS anchor
+      FROM frames WHERE active
+    ), segs AS (
+      SELECT vec_id, anchor, CAST(count(*) AS BIGINT) AS seg_len
+      FROM runs GROUP BY vec_id, anchor
+    )
+    SELECT w.vec_id,
+           CAST(w.n // {_VAD_FRAME} AS INT) AS n_frames,
+           CAST(coalesce(SUM(s.seg_len), 0) AS INT) AS n_active,
+           CAST(count(s.anchor) AS INT) AS n_segments,
+           CAST(coalesce(MAX(s.seg_len), 0) AS INT) AS longest_run
+    FROM wav w LEFT JOIN segs s ON s.vec_id = w.vec_id
+    GROUP BY w.vec_id, w.n
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over REAL decoded WAV payloads — the
+    speech-pipeline preprocessing stage (silence trimming / segment
+    extraction before ASR or audio-embedding): 16-sample frame
+    energies, threshold gate, and maximal active runs per clip. The
+    decode + framing runs in Arrow-batched `mapInPandas` (audio bytes
+    never shuffle — only 5 small ints per clip leave the executor);
+    the oracle replays every sample from the generative formula and
+    reconstructs the same segments with a gaps-and-islands window —
+    integer arithmetic end to end, so a decoder or framing bug cannot
+    hash-match. At 100 TB this kernel shape (decode -> per-clip
+    scalar features) is the template for every audio feature
+    extractor; the islands logic doubles as the distributed
+    segment-merge when clips span row-group boundaries."""
+    audio = media_table(spark, sf_dir, "audio")
+    return audio.mapInPandas(
+        _vad_kernel,
+        "vec_id BIGINT, n_frames INT, n_active INT, "
+        "n_segments INT, longest_run INT",
+    )

@@ -346,3 +346,53 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "core_deg",
         F.lit(n_prev == n_final).alias("converged"),
     )
+
+
+@query(
+    "graph_degree_dist",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS c, {_S_OFFSET} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT c AS src FROM p UNION ALL SELECT s AS src FROM p
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), bucketed AS (
+      SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket, d,
+             CASE WHEN src >= {_S_OFFSET} THEN 'supplier'
+                  ELSE 'customer' END AS side
+      FROM deg
+    )
+    SELECT side, bucket,
+           CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           MIN(d) AS min_deg, MAX(d) AS max_deg
+    FROM bucketed GROUP BY side, bucket
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the customer-supplier
+    graph, split by node side — the first diagnostic before ANY graph
+    algorithm choice (power-law tail => salted joins / degree-ordered
+    orientation; flat => plain hash partitioning is fine). Two hash
+    aggs; the bucket id floor(log2 d) is computed as length(bin(d))-1
+    — PURE integer arithmetic, immune to the 1-ulp ln()/log() drift
+    that can flip floor() at exact powers of two across engines.
+    min/max per bucket certify the bucketing. At 100 TB the degree table doubles as the
+    input to dq_skew_audit-style mitigation decisions."""
+    edges = _cs_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    bucketed = deg.select(
+        F.when(F.col("src") >= _S_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("side"),
+        (F.length(F.bin("d")) - 1).cast("long").alias("bucket"),
+        "d",
+    )
+    return bucketed.groupBy("side", "bucket").agg(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS BIGINT)").alias("bucket_lo"),
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_deg"),
+        F.max("d").alias("max_deg"),
+    ).select("side", "bucket", "bucket_lo", "n_nodes", "min_deg", "max_deg")

@@ -87,6 +87,8 @@ RISKY = [
     "fn_url_normalize",
     "llm_embed_quantize_int8",
     "dq_skew_audit",
+    "multimodal_audio_vad",
+    "graph_degree_dist",
 ]
 
 
