@@ -300,3 +300,102 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "rk")
     )
+
+
+_KCENTER_K = 8
+
+_KC_SQD = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(ROUND((x[1] - x[2]) * (x[1] - x[2]), 9) AS DECIMAL(20,9))))"
+)
+
+
+def _kcenter_oracle() -> str:
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 1
+    ), m1 AS MATERIALIZED (
+      SELECT v.vec_id, v.e,
+             {_KC_SQD.format(a="v.e", b="(SELECT e FROM c0)")} AS mind
+      FROM e v WHERE v.vec_id <> (SELECT vec_id FROM c0)
+    )"""]
+    for r in range(1, _KCENTER_K):
+        parts.append(f"""
+    , c{r} AS MATERIALIZED (
+      SELECT vec_id, e, mind FROM m{r} ORDER BY mind DESC, vec_id LIMIT 1
+    )""")
+        if r < _KCENTER_K - 1:
+            parts.append(f"""
+    , m{r + 1} AS MATERIALIZED (
+      SELECT v.vec_id, v.e,
+             LEAST(v.mind,
+                   {_KC_SQD.format(a="v.e", b=f"(SELECT e FROM c{r})")})
+               AS mind
+      FROM m{r} v WHERE v.vec_id <> (SELECT vec_id FROM c{r})
+    )""")
+    sel = ["""
+    SELECT 0 AS r, (SELECT vec_id FROM c0) AS vec_id,
+           CAST(NULL AS DOUBLE) AS sel_dist"""]
+    for r in range(1, _KCENTER_K):
+        sel.append(f"""
+    SELECT {r} AS r, vec_id, CAST(mind AS DOUBLE) AS sel_dist FROM c{r}""")
+    return "".join(parts) + " UNION ALL ".join(sel)
+
+
+@query("sample_kcenter_diverse", oracle=_kcenter_oracle())
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding column — the diversity-sampling move for training-data
+    curation (pick the 8 mutually most-distant examples; the classic
+    2-approximation to the k-center cover). Each round is ONE
+    distributed pass: update every vector's running min-distance
+    against the newly chosen center (a map-only column update — the
+    center rides into the plan as a literal array, kmeans-style) and
+    take the argmax by TakeOrdered. The driver holds only k ids +
+    k x dim center floats (the scalar-certificate convention).
+    sel_dist per pick is the cover radius at that round —
+    monotonically non-increasing, an in-result certificate of greedy
+    correctness. All distances round-then-DECIMAL, so the argmax can
+    never flip on summation order. Oracle: the same 8 rounds unrolled
+    as MATERIALIZED CTEs with scalar-subquery centers."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).cache()
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(first.vec_id), None)]
+    center = list(first.e)
+    excluded = {int(first.vec_id)}
+    mind_df = None
+    for r in range(1, _KCENTER_K):
+        c_arr = F.array(*[F.lit(float(x)) for x in center])
+        base = (e if mind_df is None else mind_df).filter(
+            ~F.col("vec_id").isin(*excluded)
+        )
+        with_c = base.withColumn("c", c_arr)
+        dec_sqd = F.expr(
+            "aggregate(zip_with(e, c, (x, y) -> "
+            "CAST(round((x - y) * (x - y), 9) AS DECIMAL(20,9))), "
+            "CAST(0 AS DECIMAL(28,9)), "
+            "(acc, z) -> CAST(acc + z AS DECIMAL(28,9)))"
+        )
+        upd = with_c.withColumn(
+            "mind",
+            dec_sqd if mind_df is None else F.least(F.col("mind"), dec_sqd),
+        ).drop("c")
+        pick = (
+            upd.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        )
+        chosen.append((r, int(pick.vec_id), float(pick.mind)))
+        center = list(
+            e.filter(F.col("vec_id") == int(pick.vec_id)).collect()[0].e
+        )
+        excluded.add(int(pick.vec_id))
+        mind_df = upd.select("vec_id", "e", "mind")
+    e.unpersist()
+    return spark.createDataFrame(
+        chosen, "r INT, vec_id BIGINT, sel_dist DOUBLE"
+    )

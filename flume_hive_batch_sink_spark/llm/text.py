@@ -527,3 +527,79 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_term").cast("double") / F.count("*"), 6
         ).alias("avg_nll"),
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), cb AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb FROM big GROUP BY w1, w2
+    ), cu AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS nu FROM big GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT unnest(t) AS w FROM toks)
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(-ln((c.nb + 1.0) / (u.nu + vv.v)), 9)
+                  AS DECIMAL(20,9)) AS nll_term
+      FROM big b
+      JOIN cb c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN cu u ON b.w1 = u.w1, vocab vv
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(nll_term) AS DOUBLE) / count(*), 6)
+                AS DOUBLE) AS avg_nll2
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one
+    Markov order up from llm_unigram_logprob, the fluency-sensitive
+    quality filter (word-salad text scores high NLL here even when its
+    unigram mix looks natural): p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
+    per-doc average negative log-likelihood. Dataflow: bigram counting
+    is a map-side-combinable hash agg (the model IS a DataFrame, never
+    driver state); scoring re-joins each doc's bigrams to the model on
+    the bigram key. Zipf skew on the hot-head bigrams is absorbed by
+    map-side combine exactly as in the unigram scorer. -ln p terms
+    round-then-DECIMAL so per-doc sums are aggregation-order-free."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("nu"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("nb") + F.lit(1.0)) / (F.col("nu") + F.col("v"))),
+                9,
+            ).cast("decimal(20,9)").alias("nll_term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_term").cast("double") / F.count("*"), 6
+        ).alias("avg_nll2"),
+    )

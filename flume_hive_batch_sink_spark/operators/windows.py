@@ -481,3 +481,44 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.min("ts").alias("first_match_ts"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over the trailing 5 events per user — the
+    robust denoiser for telemetry streams (win_sliding_frame's mean is
+    outlier-fragile). Spark has no median window, so the frame is
+    collected as a ≤5-element array, sorted in-expression, and the
+    middle element (odd n) or midpoint average (even n — identical to
+    quantile_cont interpolation at 0.5) extracted — O(frame log frame)
+    per row, state bounded by the frame, one user-partitioned shuffle.
+    DuckDB's native windowed median over the same ROWS frame is the
+    oracle, so the hand-built kernel must reproduce the interpolation
+    convention exactly."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd_mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, odd_mid).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("med5"),
+    )

@@ -89,6 +89,9 @@ RISKY = [
     "dq_skew_audit",
     "multimodal_audio_vad",
     "graph_degree_dist",
+    "win_rolling_median",
+    "sample_kcenter_diverse",
+    "llm_bigram_logprob",
 ]
 
 
