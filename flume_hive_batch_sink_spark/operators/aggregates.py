@@ -567,3 +567,67 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(gini_term), 6).cast("double").alias("gini_sum"),
         )
     )
+
+
+@query(
+    "agg_moments_merge",
+    oracle="""
+    WITH partials AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value, 9) AS DECIMAL(28,9))) AS s1,
+             SUM(CAST(ROUND(value * value, 9) AS DECIMAL(28,9))) AS s2
+      FROM events GROUP BY event_type, dt
+    ), merged AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             SUM(s1) AS s1, SUM(s2) AS s2
+      FROM partials GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n, 6) AS DOUBLE) AS mean_value,
+           CAST(ROUND(
+             (n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (n - 1)), 6) AS DOUBLE) AS var_value
+    FROM merged
+    """,
+)
+def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-moments variance — the parallel-aggregation law made
+    explicit: per-(type, day) partials (n, Σx, Σx²) merge by simple
+    addition into per-type totals, from which mean and sample variance
+    derive algebraically. This is HOW every distributed engine computes
+    var/stddev internally; materializing the partials makes them
+    reusable (incremental maintenance — etl_incremental_agg_merge's
+    law, extended to second moments) and mergeable across days,
+    shards, or streaming epochs without touching raw rows again.
+    Moment sums are round-then-DECIMAL, so the merged totals — and
+    therefore the derived variance — are bit-identical across engines
+    and aggregation orders; the final formula is evaluated on exact
+    decimals cast to double in one deterministic expression."""
+    ev = load(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("value", 9).cast("decimal(28,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 9).cast("decimal(28,9)")
+        ).alias("s2"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+    n = F.col("n")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(s1d / n, 6).alias("mean_value"),
+        F.round(
+            (n * s2d - s1d * s1d) / (n.cast("double") * (n - 1)), 6
+        ).alias("var_value"),
+    )

@@ -92,6 +92,8 @@ RISKY = [
     "win_rolling_median",
     "sample_kcenter_diverse",
     "llm_bigram_logprob",
+    "join_fuzzy_levenshtein",
+    "agg_moments_merge",
 ]
 
 
