@@ -488,3 +488,63 @@ def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.size(F.split("nqs", "&")).alias("n_params"),
     )
+
+
+@query(
+    "fn_ip_cidr",
+    oracle="""
+    WITH ip AS (
+      SELECT event_id, user_id,
+             CAST((user_id * 2654435761 + event_id) % 4294967296 AS BIGINT)
+               AS addr
+      FROM events
+    ), parts AS (
+      SELECT event_id, addr,
+             addr // 16777216 AS o1,
+             (addr // 65536) % 256 AS o2,
+             (addr // 256) % 256 AS o3,
+             addr % 256 AS o4
+      FROM ip
+    )
+    SELECT event_id,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+             || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str,
+           CAST(addr // 65536 AS BIGINT) AS subnet16,
+           (addr // 16777216 = 10) AS in_10_8,
+           (addr // 1048576 = 2753) AS in_ac10_12,
+           CAST(o1 AS INT) AS octet1
+    FROM parts
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address family: synthesize a deterministic 32-bit address
+    per event (no IP column ships in the fixture), render dotted-quad,
+    extract the /16 subnet id, and test CIDR membership (10.0.0.0/8
+    and 172.16.0.0/12) — the log-enrichment functions every
+    clickstream pipeline applies at ingest. CIDR containment is pure
+    integer division (addr >> (32-prefix) == net >> (32-prefix)), so
+    membership is codegen integer compare — never string matching —
+    and the /16 key is what a geo/abuse join would shuffle on (a
+    64k-value key space: compact, skew-bounded). All integer
+    arithmetic, bit-identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    addr = (
+        (F.col("user_id") * F.lit(2654435761)) + F.col("event_id")
+    ) % F.lit(4294967296)
+    ip = ev.select("event_id", addr.cast("long").alias("addr"))
+    o1 = (F.col("addr") / 16777216).cast("long")
+    o2 = ((F.col("addr") / 65536) % 256).cast("long")
+    o3 = ((F.col("addr") / 256) % 256).cast("long")
+    o4 = (F.col("addr") % 256).cast("long")
+    return ip.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            o1.cast("string"), o2.cast("string"),
+            o3.cast("string"), o4.cast("string"),
+        ).alias("ip_str"),
+        (F.col("addr") / 65536).cast("long").alias("subnet16"),
+        ((F.col("addr") / 16777216).cast("long") == 10).alias("in_10_8"),
+        ((F.col("addr") / 1048576).cast("long") == 2753).alias("in_ac10_12"),
+        o1.cast("int").alias("octet1"),
+    )

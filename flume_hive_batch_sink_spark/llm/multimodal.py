@@ -1018,3 +1018,87 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id BIGINT, n_frames INT, n_active INT, "
         "n_segments INT, longest_run INT",
     )
+
+
+_PATCH = 4  # ViT-style square patch edge (pixels)
+
+
+def _patchify_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode REAL image payloads and emit one row per full PATCHxPATCH
+    tile: integer luma sum + min/max per patch (the patch-embedding
+    precursor; all-integer so the oracle replays per-patch)."""
+    for pdf in batches:
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            w, h, rows = decode_image(bytes(payload))
+            for pr in range(h // _PATCH):
+                for pc in range(w // _PATCH):
+                    lumas = [
+                        (77 * r + 150 * g + 29 * b) // 256
+                        for y in range(pr * _PATCH, (pr + 1) * _PATCH)
+                        for (r, g, b) in (
+                            rows[y][pc * _PATCH:(pc + 1) * _PATCH]
+                        )
+                    ]
+                    recs.append(
+                        (
+                            int(vid), pr, pc,
+                            sum(lumas), min(lumas), max(lumas),
+                        )
+                    )
+        yield pd.DataFrame(
+            recs,
+            columns=["vec_id", "patch_row", "patch_col", "psum", "pmin", "pmax"],
+        )
+
+
+@query(
+    "multimodal_patchify",
+    oracle=f"""
+    WITH img AS (
+      SELECT vec_id, CAST(4 + vec_id % 13 AS BIGINT) AS w,
+             CAST(3 + (vec_id * 7) % 11 AS BIGINT) AS h
+      FROM embeddings WHERE vec_id % 3 < 2
+    ), patches AS (
+      SELECT i.vec_id, i.w, i.h, pr.pr, pc.pc
+      FROM img i,
+           LATERAL (SELECT unnest(range(i.h // {_PATCH})) AS pr) pr,
+           LATERAL (SELECT unnest(range(i.w // {_PATCH})) AS pc) pc
+    ), px AS (
+      SELECT p.vec_id, p.pr, p.pc,
+             (77 * ((CAST(p.pc * {_PATCH} + dx.dx AS BIGINT)
+                     + CAST(p.pr * {_PATCH} + dy.dy AS BIGINT)) % 256)
+            + 150 * (CAST(p.pc * {_PATCH} + dx.dx AS BIGINT) % 256)
+            + 29 * (CAST(p.pr * {_PATCH} + dy.dy AS BIGINT) % 256)) // 256
+               AS luma
+      FROM patches p,
+           LATERAL (SELECT unnest(range({_PATCH})) AS dy) dy,
+           LATERAL (SELECT unnest(range({_PATCH})) AS dx) dx
+    )
+    SELECT vec_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+           CAST(SUM(luma) AS BIGINT) AS psum,
+           CAST(MIN(luma) AS BIGINT) AS pmin,
+           CAST(MAX(luma) AS BIGINT) AS pmax
+    FROM px GROUP BY vec_id, pr, pc
+    """,
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification of REAL decoded images: each BMP/PNG
+    payload is decoded executor-side and split into 4x4 tiles, one row
+    per full patch with integer luma statistics — the exact precursor
+    shape of a patch-embedding pipeline (patch grid -> linear
+    projection), minus the projection weights. Image bytes never leave
+    the decode task; the exchange carries only (vec_id, patch coords,
+    3 ints) — at 100 TB the patch table is the shuffle-friendly
+    representation that downstream training jobs bucket and pack
+    (llm_pack_sequences' exact dataflow, applied to vision). The
+    oracle replays every patch from the generative pixel formula, so a
+    tiling off-by-one (the classic patchify bug) cannot hash-match.
+    Partial edge tiles are dropped by both sides (floor grid) — the
+    standard crop-to-multiple convention."""
+    imgs = media_table(spark, sf_dir, "image")
+    return imgs.mapInPandas(
+        _patchify_kernel,
+        "vec_id BIGINT, patch_row INT, patch_col INT, "
+        "psum BIGINT, pmin BIGINT, pmax BIGINT",
+    )

@@ -94,6 +94,8 @@ RISKY = [
     "llm_bigram_logprob",
     "join_fuzzy_levenshtein",
     "agg_moments_merge",
+    "multimodal_patchify",
+    "fn_ip_cidr",
 ]
 
 
