@@ -776,3 +776,79 @@ def dq_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * F.min("n_keys") / F.sum("n").cast("double"), 4
         ).cast("double").alias("skew_ratio"),
     )
+
+
+@query(
+    "etl_cascade_delete_audit",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM del))
+                AS BIGINT) AS n_after,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM del))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IN (SELECT c_custkey FROM del))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                   ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM del))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                   ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_custkey IN (SELECT c_custkey FROM del))
+                AS BIGINT)
+    """,
+)
+def etl_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a deletion list of subject keys
+    propagates through the FK graph (customer -> orders -> lineitem),
+    and the audit reports per-table before/after/deleted counts — the
+    compliance evidence a GDPR/CCPA erasure job must produce. Plan
+    shape: the deletion list is tiny and BROADCAST into left-anti
+    (survivors) and left-semi (victims) joins per table; lineitem has
+    no direct customer key, so the cascade routes through orders —
+    one broadcast-join hop per FK edge, never a full-table shuffle.
+    At 100 TB the anti-join output rewrites only the partitions that
+    contained victims (etl_dynamic_partition_overwrite is the write
+    mechanism); this operator is the dry-run audit in front of it."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    del_keys = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    b_del = F.broadcast(del_keys)
+
+    def audit(tbl, df, key, via=None):
+        if via is not None:
+            df = df.join(via, df.l_orderkey == via.o_orderkey).select(
+                F.col("o_custkey").alias("k"), "l_orderkey"
+            )
+            key = "k"
+        survivors = df.join(
+            b_del, df[key] == del_keys.c_custkey, "left_anti"
+        ).count()
+        victims = df.join(
+            b_del, df[key] == del_keys.c_custkey, "left_semi"
+        ).count()
+        return (tbl, df.count(), survivors, victims)
+
+    rows = [
+        audit("customer", c, "c_custkey"),
+        audit("orders", o, "o_custkey"),
+        audit("lineitem", li, None, via=o.select("o_orderkey", "o_custkey")),
+    ]
+    return spark.createDataFrame(
+        rows, "tbl STRING, n_before BIGINT, n_after BIGINT, n_deleted BIGINT"
+    )

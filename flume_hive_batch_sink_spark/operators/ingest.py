@@ -435,3 +435,77 @@ def hive_catalog_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dt", F.col("hr").cast("long").alias("hr"))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "ingest_dlq_routing",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 211 = 0 THEN 'not_a_number'
+                  ELSE CAST(value AS VARCHAR) END AS value_txt,
+             CASE WHEN event_id % 383 = 0 THEN NULL
+                  ELSE event_type END AS event_type
+      FROM events
+    ), routed AS (
+      SELECT event_id, event_type,
+             TRY_CAST(value_txt AS DOUBLE) AS value_num,
+             (TRY_CAST(value_txt AS DOUBLE) IS NOT NULL
+              AND event_type IS NOT NULL) AS ok
+      FROM raw
+    )
+    SELECT CASE WHEN ok THEN 'main' ELSE 'dlq' END AS sink,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CASE WHEN ok
+                    THEN CAST(ROUND(value_num, 4) AS DECIMAL(18,4))
+                    ELSE 0 END), 2) AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS first_bad_or_good
+    FROM routed GROUP BY 1
+    """,
+)
+def ingest_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing — the at-least-once sink's error
+    contract (a Flume-lineage pipeline must NEVER drop a malformed
+    event silently, and must never let one poison a batch): rows are
+    parsed with TRY_CAST-style null-on-failure semantics and routed
+    main/dlq by a validity predicate, each sink aggregated
+    independently. Corruption is synthesized deterministically
+    (unparseable numeric every 211th id, missing required field every
+    383rd) so the oracle replays the routing exactly. One map-only
+    parse + one hash agg; at scale the dlq side is tiny and lands in
+    its own partition directory for replay after a parser fix —
+    rollback-free error isolation, the exact property the reference's
+    transaction-rollback path provides by cruder means."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 211 == 0, "not_a_number")
+        .otherwise(F.col("value").cast("string"))
+        .alias("value_txt"),
+        F.when(F.col("event_id") % 383 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    routed = raw.select(
+        "event_id",
+        "event_type",
+        F.expr("TRY_CAST(value_txt AS DOUBLE)").alias("value_num"),
+    ).withColumn(
+        "ok",
+        F.col("value_num").isNotNull() & F.col("event_type").isNotNull(),
+    )
+    return routed.groupBy(
+        F.when(F.col("ok"), "main").otherwise("dlq").alias("sink")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ok"),
+                    F.round("value_num", 4).cast("decimal(18,4)"),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ),
+            2,
+        ).cast("double").alias("sum_value"),
+        F.min("event_id").alias("first_bad_or_good"),
+    )

@@ -879,3 +879,53 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_name",
         F.levenshtein("c_name", "d_name").cast("int").alias("dist"),
     )
+
+
+@query(
+    "sql_text_api_cte",
+    oracle="""
+    WITH dau AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM events GROUP BY 1
+    ), buyers AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS buying_users
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT d.dt, d.active_users,
+           coalesce(b.buying_users, 0) AS buying_users,
+           CAST(ROUND(coalesce(b.buying_users, 0)
+                      / CAST(d.active_users AS DOUBLE), 4) AS DOUBLE)
+             AS conversion
+    FROM dau d LEFT JOIN buyers b ON d.dt = b.dt
+    """,
+)
+def sql_text_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT entry point: the same engine surface exercised as
+    `spark.sql()` over registered temp views (CTEs, DISTINCT
+    aggregates, left join, expression projection) rather than the
+    DataFrame builder — the interface a BI tool or migration from
+    HiveQL actually uses. Catalyst compiles both surfaces to the same
+    plans, and this key pins that equivalence under the value-hash
+    contract. The view registration is per-session catalog metadata
+    (no data movement); the query itself is two count-distinct aggs +
+    a small join on the day key."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_sqlv")
+    return spark.sql("""
+        WITH dau AS (
+          SELECT date_format(ts, 'yyyy-MM-dd') AS dt,
+                 count(DISTINCT user_id) AS active_users
+          FROM events_sqlv GROUP BY 1
+        ), buyers AS (
+          SELECT date_format(ts, 'yyyy-MM-dd') AS dt,
+                 count(DISTINCT user_id) AS buying_users
+          FROM events_sqlv WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT d.dt, d.active_users,
+               coalesce(b.buying_users, 0L) AS buying_users,
+               CAST(ROUND(coalesce(b.buying_users, 0L)
+                          / CAST(d.active_users AS DOUBLE), 4) AS DOUBLE)
+                 AS conversion
+        FROM dau d LEFT JOIN buyers b ON d.dt = b.dt
+    """)

@@ -96,6 +96,9 @@ RISKY = [
     "agg_moments_merge",
     "multimodal_patchify",
     "fn_ip_cidr",
+    "ingest_dlq_routing",
+    "etl_cascade_delete_audit",
+    "sql_text_api_cte",
 ]
 
 
