@@ -631,3 +631,81 @@ def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * s2d - s1d * s1d) / (n.cast("double") * (n - 1)), 6
         ).alias("var_value"),
     )
+
+
+@query(
+    "agg_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                      AS DECIMAL(28,4))) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), tot AS (SELECT SUM(revenue) AS t FROM rev
+    ), ranked AS (
+      SELECT r.p_brand, r.revenue,
+             SUM(r.revenue) OVER (
+               ORDER BY r.revenue DESC, r.p_brand
+               ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             t.t
+      FROM rev r, tot t
+    )
+    SELECT p_brand,
+           CAST(ROUND(CAST(revenue AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                AS DOUBLE) AS cum_share,
+           CASE WHEN 5 * (cum_rev - revenue) < 4 * t THEN 'A'
+                WHEN 20 * (cum_rev - revenue) < 19 * t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification per brand: rank brands by
+    revenue, accumulate share, and class A/B/C at the 80% / 95%
+    cumulative cuts — the inventory-analysis staple. Class boundaries
+    compare EXACT DECIMALS via cross-multiplication (5·cum < 4·total
+    instead of cum/total < 0.8), so no float division ever decides a
+    class; the prior-cumulative convention (class from the share
+    BEFORE this brand) makes the first boundary-crossing brand still
+    'A' — the textbook rule. The rank window is global but runs over
+    the BRAND aggregate (bounded cardinality, the dq_skew_audit
+    exemption); revenue itself aggregates distributed with map-side
+    partials."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(28,4)")
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.col("revenue").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+        "t",
+    )
+    prior = F.col("cum_rev") - F.col("revenue")
+    return ranked.select(
+        "p_brand",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("t").cast("double"), 6
+        ).alias("cum_share"),
+        F.when(5 * prior < 4 * F.col("t"), "A")
+        .when(20 * prior < 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -467,3 +467,85 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             SUM(CAST(ROUND(value, 9) AS DECIMAL(28,9))) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             CAST(ROUND(e.value - CAST(st.s AS DOUBLE) / st.n, 9)
+                  AS DECIMAL(28,9)) AS d,
+             st.n
+      FROM events e JOIN stats st ON e.event_type = st.event_type
+    ), cusum AS (
+      SELECT event_type, ts, event_id, n,
+             SUM(d) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS s_t
+      FROM dev
+    ), ranked AS (
+      SELECT event_type, ts, s_t, n,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(s_t) DESC, ts, event_id) AS rk
+      FROM cusum
+    )
+    SELECT event_type, ts AS changepoint_ts,
+           CAST(ROUND(CAST(abs(s_t) AS DOUBLE), 4) AS DOUBLE) AS max_cusum,
+           n AS n_points
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the cumulative sum
+    of mean-deviations S_t peaks (in absolute value) where the series'
+    level shifts — the classic offline single-changepoint locator. Two
+    passes: a mean per type (tiny, broadcast back), then ONE
+    type-partitioned ordered window building the running decimal sum,
+    and an argmax rank over the same partitioning (no extra shuffle —
+    both windows share the hash partitioning on event_type). The
+    deviations are round-then-DECIMAL so S_t is exact — a float cumsum
+    would accumulate engine-ordering drift precisely where |S_t| peaks
+    flat and ties matter; (ts, event_id) tiebreaks pin the argmax."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.round("value", 9).cast("decimal(28,9)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.round(
+            F.col("value") - F.col("s").cast("double") / F.col("n"), 9
+        ).cast("decimal(28,9)").alias("d"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.select(
+        "event_type", "ts", "event_id", "n",
+        F.sum("d").over(w_run).alias("s_t"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_t")).desc(), "ts", "event_id"
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            F.round(F.abs("s_t").cast("double"), 4).alias("max_cusum"),
+            F.col("n").alias("n_points"),
+        )
+    )

@@ -99,6 +99,8 @@ RISKY = [
     "ingest_dlq_routing",
     "etl_cascade_delete_audit",
     "sql_text_api_cte",
+    "ts_cusum_changepoint",
+    "agg_abc_pareto",
 ]
 
 
