@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
@@ -570,4 +571,63 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .filter(cont >= _CONTAIN_T)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+@query(
+    "llm_dedup_rep_quality",
+    oracle="""
+    WITH grouped AS (
+      SELECT doc_id, source, n_chars,
+             md5(lower(trim(text))) AS content_key
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, content_key,
+             row_number() OVER (
+               PARTITION BY content_key
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY content_key) AS BIGINT)
+               AS group_size
+      FROM grouped
+    )
+    SELECT content_key, doc_id AS rep_doc_id, source AS rep_source,
+           n_chars AS rep_chars, group_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def llm_dedup_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection — the refinement over
+    llm_exact_dedup's keep-lowest-id rule: within each exact-duplicate
+    group (md5 of normalized text), keep the HIGHEST-QUALITY copy
+    (longest n_chars, deterministic doc_id tiebreak). In a real corpus
+    duplicates differ by truncation and boilerplate stripping, so the
+    kept copy materially affects training data; the quality criterion
+    is pluggable (swap n_chars for llm_quality_score's composite — the
+    window shape is identical). One shuffle on the content key; the
+    rank and group-size windows share that partitioning."""
+    d = load(spark, sf_dir, "documents")
+    grouped = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("content_key"),
+    )
+    w_rk = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w_sz = Window.partitionBy("content_key")
+    ranked = grouped.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "content_key",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_sz).alias("group_size"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "content_key",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("source").alias("rep_source"),
+        F.col("n_chars").alias("rep_chars"),
+        "group_size",
     )

@@ -852,3 +852,96 @@ def etl_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tbl STRING, n_before BIGINT, n_after BIGINT, n_deleted BIGINT"
     )
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    WITH single_pass AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS not_null_orderkey,
+        CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS range_totalprice,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS accepted_status,
+        CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate > TIMESTAMP '2026-01-01'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS date_bounds
+      FROM orders
+    ), uniq AS (
+      SELECT CAST(coalesce(SUM(cnt - 1), 0) AS BIGINT) AS dup_orderkeys
+      FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+      WHERE cnt > 1
+    ), fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_custkeys
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'not_null:o_orderkey' AS constraint_name,
+           not_null_orderkey AS n_violations FROM single_pass
+    UNION ALL SELECT 'range:o_totalprice>0', range_totalprice FROM single_pass
+    UNION ALL SELECT 'accepted:o_orderstatus', accepted_status FROM single_pass
+    UNION ALL SELECT 'bounds:o_orderdate', date_bounds FROM single_pass
+    UNION ALL SELECT 'unique:o_orderkey', dup_orderkeys FROM uniq
+    UNION ALL SELECT 'fk:o_custkey->customer', orphan_custkeys FROM fk
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (the deequ/dbt-test pattern): six
+    table contracts — not-null, value range, accepted set, date
+    bounds, key uniqueness, referential integrity — evaluated as ONE
+    report. Cost model: the four row-local checks fuse into a SINGLE
+    scan (conditional aggregation — adding a constraint is free);
+    uniqueness is one hash agg on the key; the FK check is one
+    broadcast anti join shipping only the key column. This is the
+    schema-contract gate a Hive-loading pipeline runs before
+    registering a partition (the reference's serializer assumes DDL
+    conformance; this VERIFIES it) — violations route to
+    ingest_dlq_routing's dlq rather than poisoning the table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sp = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "not_null_orderkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "range_totalprice"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("accepted_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") > "2026-01-01"),
+                1,
+            ).otherwise(0)
+        ).alias("date_bounds"),
+    )
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("dups"))
+    )
+    fk = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("orphans"))
+
+    def row(name, df, col):
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(col).cast("long").alias("n_violations"),
+        )
+
+    return (
+        row("not_null:o_orderkey", sp, "not_null_orderkey")
+        .unionByName(row("range:o_totalprice>0", sp, "range_totalprice"))
+        .unionByName(row("accepted:o_orderstatus", sp, "accepted_status"))
+        .unionByName(row("bounds:o_orderdate", sp, "date_bounds"))
+        .unionByName(row("unique:o_orderkey", uniq, "dups"))
+        .unionByName(row("fk:o_custkey->customer", fk, "orphans"))
+    )

@@ -732,3 +732,77 @@ def pipeline_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_profit")
         )
     )
+
+
+@query(
+    "pipeline_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d') AS dt
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT dt,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS DOUBLE)
+             AS bounce_rate
+    FROM per_sess GROUP BY dt
+    """,
+)
+def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the web-analytics composite over idle-gap
+    sessionization (30-min timeout, the reference's idleTimeout
+    semantics): a bounce is a single-event session, attributed to the
+    day the session STARTED (MIN ts — a session straddling midnight
+    counts once). Same integer gap logic as idle_sessionize
+    (date_diff on whole seconds — no float timestamps), one shuffle
+    on user_id shared by both windows, then a day-keyed rollup whose
+    cardinality is the calendar."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("dt"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("dt").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        F.round(bounce / F.count("*").cast("double"), 4).alias("bounce_rate"),
+    )

@@ -101,6 +101,9 @@ RISKY = [
     "sql_text_api_cte",
     "ts_cusum_changepoint",
     "agg_abc_pareto",
+    "dq_constraint_suite",
+    "llm_dedup_rep_quality",
+    "pipeline_bounce_rate",
 ]
 
 
