@@ -806,3 +806,75 @@ def pipeline_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         F.round(bounce / F.count("*").cast("double"), 4).alias("bounce_rate"),
     )
+
+
+@query(
+    "pipeline_attribution_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id AS touch_id, ts AS t_ts, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), cand AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, t.touch_id, t.t_ts, t.channel
+      FROM p JOIN touch t
+        ON p.user_id = t.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ), firsts AS (
+      SELECT purchase_id,
+             MIN(ROW(t_ts, touch_id, channel)) AS ft,
+             MAX(ROW(t_ts, touch_id, channel)) AS lt
+      FROM cand GROUP BY purchase_id
+    )
+    SELECT p.purchase_id, p.user_id, p.p_ts,
+           f.ft[2] AS first_touch_id, f.ft[3] AS first_channel,
+           f.lt[2] AS last_touch_id, f.lt[3] AS last_channel
+    FROM p LEFT JOIN firsts f ON p.purchase_id = f.purchase_id
+    """,
+)
+def pipeline_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch marketing attribution: every purchase is
+    attributed to the earliest and latest view/click by the same user
+    in the trailing 7 days. Same bounded band-join shape as
+    ts_asof_tolerance (equi key + time band residual — plan-gated
+    family), but BOTH endpoints of the candidate set extract via ONE
+    aggregation: min/max over a (ts, id, channel) struct, which
+    partial-aggregates map-side — no window, no second shuffle.
+    Unattributed purchases (no touch in the window) survive with NULL
+    attribution — the audit rows a marketing pipeline must not drop.
+    The struct-ordering tiebreak (ts, then event_id) is identical in
+    both engines' ROW comparison semantics."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = p.join(
+        touch,
+        (F.col("user_id") == F.col("t_user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    firsts = cand.groupBy("purchase_id").agg(
+        F.min(F.struct("t_ts", "touch_id", "channel")).alias("ft"),
+        F.max(F.struct("t_ts", "touch_id", "channel")).alias("lt"),
+    )
+    return p.join(firsts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.col("ft.touch_id").alias("first_touch_id"),
+        F.col("ft.channel").alias("first_channel"),
+        F.col("lt.touch_id").alias("last_touch_id"),
+        F.col("lt.channel").alias("last_channel"),
+    )

@@ -104,6 +104,7 @@ RISKY = [
     "dq_constraint_suite",
     "llm_dedup_rep_quality",
     "pipeline_bounce_rate",
+    "pipeline_attribution_touch",
 ]
 
 

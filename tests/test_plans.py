@@ -540,3 +540,11 @@ def test_temporal_validity_equi_with_residual(spark):
     on user_id with the interval as residual — not nested-loop."""
     p = plan(registry.QUERIES["join_temporal_validity"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_attribution_band_join_stays_equi(spark):
+    """pipeline_attribution_touch: the trailing-window attribution join
+    must keep user_id as the equi key with the 7-day band residual —
+    the ts_asof_tolerance plan family."""
+    p = plan(registry.QUERIES["pipeline_attribution_touch"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
