@@ -548,3 +548,67 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("addr") / 1048576).cast("long") == 2753).alias("in_ac10_12"),
         o1.cast("int").alias("octet1"),
     )
+
+
+@query(
+    "fn_geo_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             -60 + (user_id * 37 % 120) + (event_id % 100) / 100.0 AS lat1,
+             -170 + (user_id * 53 % 340) + (event_id % 97) / 97.0 AS lon1,
+             -60 + (user_id * 71 % 120) + (event_id % 89) / 89.0 AS lat2,
+             -170 + (user_id * 89 % 340) + (event_id % 83) / 83.0 AS lon2
+      FROM events
+    ), hav AS (
+      SELECT event_id, lat1, lon1, lat2, lon2,
+             sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+               * sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) / 2)
+               AS a
+      FROM pts
+    )
+    SELECT event_id,
+           CAST(ROUND(lat1, 4) AS DOUBLE) AS lat1,
+           CAST(ROUND(lon1, 4) AS DOUBLE) AS lon1,
+           CAST(ROUND(12742.0 * asin(sqrt(a)), 2) AS DOUBLE) AS dist_km,
+           (6371.0 * 2 * asin(sqrt(a)) < 100.0) AS within_100km
+    FROM hav
+    """,
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial distance family: haversine great-circle km between
+    two deterministic synthesized points per event (no geo columns
+    ship in the fixture) plus a radius predicate — the geofence /
+    proximity-join primitive. All trig is JVM/libm double math in
+    codegen; the oracle computes the IDENTICAL formula text, and
+    outputs round to 2-4 decimals (~10 m) so a last-ulp sin/cos
+    divergence between libms cannot flip the hash. At 100 TB the
+    radius predicate pairs with a geohash/S2-cell blocking key —
+    same gate-the-pairs pattern as join_fuzzy_levenshtein — so
+    proximity joins never go n^2."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (-60 + (F.col("user_id") * 37 % 120) + (F.col("event_id") % 100) / 100.0).alias("lat1"),
+        (-170 + (F.col("user_id") * 53 % 340) + (F.col("event_id") % 97) / 97.0).alias("lon1"),
+        (-60 + (F.col("user_id") * 71 % 120) + (F.col("event_id") % 89) / 89.0).alias("lat2"),
+        (-170 + (F.col("user_id") * 89 % 340) + (F.col("event_id") % 83) / 83.0).alias("lon2"),
+    )
+    dlat2 = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    dlon2 = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    a = (
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(F.radians("lat1")) * F.cos(F.radians("lat2"))
+        * F.sin(dlon2) * F.sin(dlon2)
+    )
+    hav = pts.withColumn("a", a)
+    return hav.select(
+        "event_id",
+        F.round("lat1", 4).alias("lat1"),
+        F.round("lon1", 4).alias("lon1"),
+        F.round(F.lit(12742.0) * F.asin(F.sqrt("a")), 2).alias("dist_km"),
+        (F.lit(6371.0) * 2 * F.asin(F.sqrt("a")) < 100.0).alias(
+            "within_100km"
+        ),
+    )

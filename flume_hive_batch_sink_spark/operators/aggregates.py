@@ -709,3 +709,108 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), tot AS (
+      SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(ROUND(t.n / CAST(o.row_total AS DOUBLE), 6) AS DOUBLE) AS p
+    FROM trans t JOIN tot o ON t.prev_type = o.prev_type
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: counts
+    and row-normalized probabilities of (previous type -> next type)
+    per user journey — the session-flow model behind next-action
+    prediction and anomalous-sequence detection. One user-partitioned
+    lag window + one hash agg on the (5x5-bounded) transition key;
+    the row totals re-join as a broadcast. The probability is a single
+    exact division (exact BIGINT counts), identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+    )
+
+
+@query(
+    "agg_distinct_set_ops",
+    oracle="""
+    WITH per_day AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                 THEN user_id END) AS BIGINT) AS viewers,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT) AS buyers,
+             CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+                                 THEN user_id END) AS BIGINT) AS either_set
+      FROM events GROUP BY dt
+    )
+    SELECT dt, viewers, buyers, either_set,
+           viewers + buyers - either_set AS both_set
+    FROM per_day
+    """,
+)
+def agg_distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra per day: |viewers|, |buyers|, |either| as
+    three conditional COUNT(DISTINCT)s in ONE aggregation, and the
+    intersection derived by inclusion-exclusion (|A∩B| = |A|+|B|-|A∪B|)
+    — no self-join, no second pass. This is the exact-count shape of
+    audience-overlap analysis; at 100 TB the same algebra runs on
+    mergeable sketches (sketch_hll_merge / agg_bitmap_distinct supply
+    the union-mergeable counters — HLL intersection uses precisely
+    this identity, with error bounds). Spark expands multi-distinct
+    aggregates via a single Expand node — one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    viewers = F.countDistinct(
+        F.when(F.col("event_type") == "view", F.col("user_id"))
+    )
+    buyers = F.countDistinct(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    )
+    either = F.countDistinct(
+        F.when(
+            F.col("event_type").isin("view", "purchase"), F.col("user_id")
+        )
+    )
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            viewers.alias("viewers"),
+            buyers.alias("buyers"),
+            either.alias("either_set"),
+        )
+        .select(
+            "dt",
+            "viewers",
+            "buyers",
+            "either_set",
+            (F.col("viewers") + F.col("buyers") - F.col("either_set")).alias(
+                "both_set"
+            ),
+        )
+    )

@@ -105,6 +105,9 @@ RISKY = [
     "llm_dedup_rep_quality",
     "pipeline_bounce_rate",
     "pipeline_attribution_touch",
+    "agg_markov_transitions",
+    "agg_distinct_set_ops",
+    "fn_geo_haversine",
 ]
 
 
