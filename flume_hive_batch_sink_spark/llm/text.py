@@ -603,3 +603,53 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_term").cast("double") / F.count("*"), 6
         ).alias("avg_nll2"),
     )
+
+
+@query(
+    "llm_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_types
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS DOUBLE)
+             AS ttr,
+           CAST(ROUND(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                AS DOUBLE) AS root_ttr,
+           CAST(ROUND(ln(CAST(n_types AS DOUBLE))
+                      / ln(CAST(n_tokens AS DOUBLE)), 6) AS DOUBLE)
+             AS herdan_c
+    FROM per_doc WHERE n_tokens > 1
+    """,
+)
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity metrics per document — the vocabulary-richness
+    quality signals (low TTR flags boilerplate and template spam that
+    llm_repetition_score's n-gram lens can miss): type-token ratio,
+    root TTR (Guiraud, length-corrected), and Herdan's C (log-log,
+    the most length-stable of the three). One explode + one hash agg
+    with a distinct count per doc — the distinct is per-GROUP so it
+    partial-aggregates as a two-phase (doc, word) dedup, no global
+    distinct. Ratios are exact-integer inputs to single IEEE ops,
+    rounded at 6 — identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    ).filter(F.col("n_tokens") > 1)
+    nt = F.col("n_tokens").cast("double")
+    ny = F.col("n_types").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(ny / nt, 6).alias("ttr"),
+        F.round(ny / F.sqrt(nt), 6).alias("root_ttr"),
+        F.round(F.log(ny) / F.log(nt), 6).alias("herdan_c"),
+    )

@@ -814,3 +814,72 @@ def agg_distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EQUIDEPTH_BUCKETS = 8
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH vc AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_quantity
+    ), cum AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM vc
+    ), assigned AS (
+      SELECT v, cnt,
+             CAST({_EQUIDEPTH_BUCKETS} * (cum - cnt) // n AS BIGINT)
+               AS bucket
+      FROM cum
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS ndv,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram over l_quantity — the
+    optimizer statistic ANALYZE TABLE builds (agg_histogram_fixed is
+    its equi-WIDTH sibling): whole value-groups are assigned to the
+    bucket their PRIOR cumulative count falls in (floor(B·cum_before
+    / n) — pure integer arithmetic, no quantile interpolation), so
+    buckets are near-equal in row mass while never splitting a value.
+    The cumulative window runs over the VALUE-COUNT relation (50
+    distinct quantities — bounded cardinality, the dq_skew_audit
+    exemption), never the fact table; the heavy lifting is one
+    map-side-combinable count per value. Output per bucket: row mass,
+    NDV, and [lo, hi] bounds — exactly the skipping metadata a
+    cost-based optimizer consumes."""
+    li = load(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vc.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    assigned = cum.select(
+        "v",
+        "cnt",
+        F.expr(
+            f"CAST({_EQUIDEPTH_BUCKETS} * (cum - cnt) div n AS BIGINT)"
+        ).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("ndv"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

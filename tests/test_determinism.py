@@ -108,6 +108,8 @@ RISKY = [
     "agg_markov_transitions",
     "agg_distinct_set_ops",
     "fn_geo_haversine",
+    "llm_lexical_diversity",
+    "agg_histogram_equidepth",
 ]
 
 
