@@ -1275,3 +1275,110 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 6).alias("lo"),
         F.round("hi", 6).alias("hi"),
     )
+
+
+_HN_ANCHOR_MOD = 97  # anchors: vec_id = 0 (mod 97) — sized so the anchor x corpus probe stays sweep-tractable at sf1
+
+_HARD_NEG_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS aid, label AS alabel, e AS ae FROM e
+      WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+    ), pos AS (
+      SELECT a.aid, v.vec_id,
+             list_sum(list_transform(list_zip(a.ae, v.e),
+               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+      FROM anchors a JOIN e v
+        ON v.label = a.alabel AND v.vec_id <> a.aid
+    ), neg AS (
+      SELECT a.aid, a.alabel, v.vec_id, v.label,
+             list_sum(list_transform(list_zip(a.ae, v.e),
+               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+      FROM anchors a JOIN e v ON v.label <> a.alabel
+    ), best_pos AS (
+      SELECT aid, vec_id AS pos_id, score AS pos_score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY aid ORDER BY score DESC, vec_id) AS rn FROM pos)
+      WHERE rn = 1
+    ), best_neg AS (
+      SELECT aid, alabel, vec_id AS neg_id, label AS neg_label,
+             score AS neg_score
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY aid ORDER BY score DESC, vec_id) AS rn FROM neg)
+      WHERE rn = 1
+    )
+    SELECT p.aid AS anchor_id, n.alabel AS anchor_label,
+           p.pos_id, CAST(p.pos_score AS DOUBLE) AS pos_score,
+           n.neg_id, n.neg_label, CAST(n.neg_score AS DOUBLE) AS neg_score,
+           CAST(p.pos_score - n.neg_score AS DOUBLE) AS margin
+    FROM best_pos p JOIN best_neg n ON p.aid = n.aid
+"""
+
+
+@query("llm_hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most-similar SAME-label vector (hardest positive) and the
+    most-similar DIFFERENT-label vector (hardest negative), plus the
+    margin between them — the triplet-selection pass that decides
+    contrastive batch quality. The anchor set is a deterministic
+    sliver (mod-{mod}), broadcast against the corpus, so the scan is
+    one map-side pass per side with a per-anchor argmax window —
+    candidates never materialize beyond (anchor x corpus) rows with
+    8-byte scores. Scores are round-then-DECIMAL dots: the argmax
+    (and therefore the mined triplet) cannot flip on summation order.
+    At 100 TB the corpus side routes through the LSH/IVF candidate
+    generators first (llm_ann_lsh / llm_ann_ivf) — mining only probes
+    bucket-mates, same gate as every pairwise kernel here.""".format(
+        mod=_HN_ANCHOR_MOD
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
+    anchors = e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("e").alias("ae"),
+    )
+    dec_dot = F.expr(_DEC_DOT.format(a="ae", b="e"))
+    scored = e.crossJoin(F.broadcast(anchors)).select(
+        "aid", "alabel", "vec_id", "label", dec_dot.alias("score")
+    )
+    pos = scored.filter(
+        (F.col("label") == F.col("alabel")) & (F.col("vec_id") != F.col("aid"))
+    )
+    neg = scored.filter(F.col("label") != F.col("alabel"))
+    w = Window.partitionBy("aid").orderBy(F.col("score").desc(), "vec_id")
+    best_pos = (
+        pos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "aid",
+            F.col("vec_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    best_neg = (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "aid",
+            F.col("alabel").alias("anchor_label"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return best_pos.join(best_neg, "aid").select(
+        F.col("aid").alias("anchor_id"),
+        "anchor_label",
+        "pos_id",
+        F.col("pos_score").cast("double").alias("pos_score"),
+        "neg_id",
+        "neg_label",
+        F.col("neg_score").cast("double").alias("neg_score"),
+        (F.col("pos_score") - F.col("neg_score")).cast("double").alias(
+            "margin"
+        ),
+    )

@@ -883,3 +883,62 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+@query(
+    "agg_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             SUM(x) OVER () AS sx
+      FROM spend
+    )
+    SELECT MIN(n) AS n_customers,
+           CAST(ROUND(CAST(MIN(sx) AS DOUBLE), 2) AS DOUBLE) AS total_spend,
+           CAST(ROUND(
+             2.0 * CAST(SUM(i * x) AS DOUBLE)
+               / (MIN(n) * CAST(MIN(sx) AS DOUBLE))
+             - (MIN(n) + 1.0) / MIN(n), 6) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration metric
+    behind whale-detection and fairness audits: G = 2·Σ(i·x_i)/(n·Σx)
+    − (n+1)/n over ascending-sorted per-customer totals. Spend totals
+    are DECIMAL (exact), the rank·value products and both sums are
+    exact integers/decimals, so the only float ops are the two final
+    divisions — bit-identical across engines. The rank window runs
+    over the CUSTOMER AGGREGATE (key-space cardinality, the
+    dq_skew_audit exemption); tied spends contribute the same Σi·x
+    under any tie order, so the custkey tiebreak is for rank
+    determinism only, not value stability."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(28,2)")).alias("x")
+    )
+    w_rank = Window.orderBy("x", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    n = F.min("n")
+    sx = F.min("sx").cast("double")
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(sx, 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")).cast("double") / (n * sx)
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -945,3 +945,59 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("unique:o_orderkey", uniq, "dups"))
         .unionByName(row("fk:o_custkey->customer", fk, "orphans"))
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation/observe() API surface: named metrics attached to
+    a DataFrame are collected AS A SIDE EFFECT of the action that
+    consumes it — zero extra passes, the mechanism for per-batch audit
+    counters in production pipelines (the reference's SinkCounter
+    metrics, Spark-native; stream_foreachbatch_hive would attach these
+    per epoch). The observed map is pulled once (driver scalars, the
+    certificate convention) and re-emitted as the result so the oracle
+    can pin the VALUES, proving the observation path reports exactly
+    what a dedicated aggregation would."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+        F.round(
+            F.sum(F.round("value", 4).cast("decimal(18,4)")), 2
+        ).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_errors"]),
+                float(m["sum_value"]),
+                int(m["min_id"]),
+                int(m["max_id"]),
+            )
+        ],
+        "n_rows BIGINT, n_errors BIGINT, sum_value DOUBLE, "
+        "min_id BIGINT, max_id BIGINT",
+    )

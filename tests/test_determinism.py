@@ -110,6 +110,9 @@ RISKY = [
     "fn_geo_haversine",
     "llm_lexical_diversity",
     "agg_histogram_equidepth",
+    "dq_observe_metrics",
+    "llm_hard_negative_mining",
+    "agg_gini_spend",
 ]
 
 
