@@ -631,3 +631,84 @@ def llm_dedup_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("rep_chars"),
         "group_size",
     )
+
+
+_PREFIX_BLOCK_TOKENS = 8
+
+
+@query(
+    "llm_prefix_dup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) AS len,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                          {_PREFIX_BLOCK_TOKENS}), ' ')) AS blk
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_PREFIX_BLOCK_TOKENS}
+    )
+    SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+           CAST(a.len AS BIGINT) AS short_len,
+           CAST(b.len AS BIGINT) AS long_len
+    FROM docs a JOIN docs b
+      ON a.blk = b.blk
+     AND a.len < b.len
+     AND substr(b.text, 1, CAST(a.len AS INT)) = a.text
+     AND substr(b.text, CAST(a.len AS INT) + 1, 1) = ' '
+    """,
+)
+def llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection — the crawl-truncation artifact class
+    (the same page fetched whole and cut off mid-stream) that
+    whole-document hashing misses and MinHash only catches at high
+    overlap: doc A is a dup of B if A is a strict token-boundary
+    PREFIX of B. Candidates block on the md5 of the first 8 tokens
+    (truncations agree on their opening — the blocking key every
+    prefix pair must share), so verification pairs are bounded by
+    block sizes, never n². The verify is one substring compare plus a
+    token-boundary guard (the next char in B must be a space — 'the
+    cat' is not a prefix-dup of 'the catalog'). One shuffle on the
+    block key; the same shape extends to suffix dups by reversing."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = (
+        d.filter(F.size(toks) >= _PREFIX_BLOCK_TOKENS)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("len"),
+            F.md5(
+                F.array_join(
+                    F.slice(toks, 1, _PREFIX_BLOCK_TOKENS), " "
+                )
+            ).alias("blk"),
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("a_text"),
+        F.col("len").alias("short_len"),
+        "blk",
+    )
+    b = docs.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("b_text"),
+        F.col("len").alias("long_len"),
+        F.col("blk").alias("b_blk"),
+    )
+    j = a.join(
+        b,
+        (F.col("blk") == F.col("b_blk"))
+        & (F.col("short_len") < F.col("long_len"))
+        & (
+            F.expr("substr(b_text, 1, CAST(short_len AS INT))")
+            == F.col("a_text")
+        )
+        & (F.expr("substr(b_text, CAST(short_len AS INT) + 1, 1)") == " "),
+    )
+    return j.select(
+        "short_id",
+        "long_id",
+        F.col("short_len").cast("long").alias("short_len"),
+        F.col("long_len").cast("long").alias("long_len"),
+    )

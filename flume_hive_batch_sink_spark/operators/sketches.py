@@ -267,3 +267,60 @@ def sketch_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_build BIGINT, n_bits_set BIGINT, n_probe BIGINT, "
         "n_maybe BIGINT, n_true BIGINT, n_false_pos BIGINT",
     )
+
+
+@query(
+    "sketch_hll_intersection",
+    oracle="""
+    WITH per_day AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt,
+             CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                 THEN user_id END) AS BIGINT) AS exact_a,
+             CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                 THEN user_id END) AS BIGINT) AS exact_b,
+             CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'click')
+                                 THEN user_id END) AS BIGINT) AS exact_union
+      FROM events GROUP BY dt
+    )
+    SELECT dt, exact_a, exact_b,
+           exact_a + exact_b - exact_union AS exact_intersection,
+           true AS within_bound
+    FROM per_day
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience intersection: |A∩B| estimated by
+    inclusion-exclusion over THREE HLL++ sketches (|A|+|B|−|A∪B|) —
+    how overlap is computed at 100 TB where exact distinct is
+    unaffordable and sketches for A, B, A∪B are already maintained
+    per partition (sketch_hll_merge supplies the mergeability). The
+    certificate follows agg_approx_distinct's pattern: HLL estimates
+    are engine-specific, so the result carries the EXACT values
+    (oracle-reproducible) plus a bound check — inclusion-exclusion
+    compounds the three sketches' rsd, so the tolerance is
+    3·rsd·(|A|+|B|+|A∪B|), the triangle-inequality bound on the
+    summed errors."""
+    ev = load(spark, sf_dir, "events")
+    a = F.when(F.col("event_type") == "view", F.col("user_id"))
+    b = F.when(F.col("event_type") == "click", F.col("user_id"))
+    u = F.when(
+        F.col("event_type").isin("view", "click"), F.col("user_id")
+    )
+    agg = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.approx_count_distinct(a, 0.05).alias("hll_a"),
+        F.approx_count_distinct(b, 0.05).alias("hll_b"),
+        F.approx_count_distinct(u, 0.05).alias("hll_u"),
+        F.countDistinct(a).alias("exact_a"),
+        F.countDistinct(b).alias("exact_b"),
+        F.countDistinct(u).alias("exact_union"),
+    )
+    est_inter = F.col("hll_a") + F.col("hll_b") - F.col("hll_u")
+    exact_inter = F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    tol = 0.15 * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union"))
+    return agg.select(
+        "dt",
+        "exact_a",
+        "exact_b",
+        exact_inter.alias("exact_intersection"),
+        (F.abs(est_inter - exact_inter) <= tol).alias("within_bound"),
+    )

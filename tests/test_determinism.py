@@ -113,6 +113,8 @@ RISKY = [
     "dq_observe_metrics",
     "llm_hard_negative_mining",
     "agg_gini_spend",
+    "sketch_hll_intersection",
+    "llm_prefix_dup",
 ]
 
 
