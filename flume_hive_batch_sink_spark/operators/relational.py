@@ -929,3 +929,83 @@ def sql_text_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS conversion
         FROM dau d LEFT JOIN buyers b ON d.dt = b.dt
     """)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE user_id % 50 END AS k
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT CASE WHEN n % 7 = 0 THEN NULL ELSE n END AS k,
+             CAST(n AS BIGINT) AS tag
+      FROM (SELECT unnest(range(50)) AS n)
+    ), plain AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM l JOIN r ON l.k = r.k
+    ), nullsafe AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ), null_l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM l WHERE k IS NULL
+    ), null_r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM r WHERE k IS NULL
+    )
+    SELECT (SELECT n FROM plain) AS n_plain_matches,
+           (SELECT n FROM nullsafe) AS n_nullsafe_matches,
+           (SELECT n FROM null_l) AS n_null_left,
+           (SELECT n FROM null_r) AS n_null_right,
+           (SELECT n FROM nullsafe) - (SELECT n FROM plain)
+             = (SELECT n FROM null_l) * (SELECT n FROM null_r)
+             AS delta_is_null_cross
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM) vs plain
+    `=` — the three-valued-logic JOIN trap (the join-side sibling of
+    filter_null_safe and filter_not_in_null_semantics): plain equality
+    silently DROPS every null-keyed row, while <=> matches null to
+    null. The result pins both match counts and certifies the
+    difference equals |null-left| x |null-right| — exactly the rows
+    `=` discards. Planner note for 100 TB: Spark compiles `<=>` into
+    a hash join (null becomes an ordinary key value), so null-safe
+    semantics cost nothing extra — but a SKEWED null population then
+    hashes to ONE reducer; production pipelines route the null slice
+    separately (the same salting decision dq_skew_audit informs)."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("user_id") % 50
+        ).alias("k"),
+    )
+    right = spark.range(50).select(
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("id")
+        ).alias("rk"),
+        F.col("id").alias("tag"),
+    )
+    n_plain = left.join(
+        F.broadcast(right), left.k == right.rk
+    ).count()
+    n_nullsafe = left.join(
+        F.broadcast(right), left.k.eqNullSafe(right.rk)
+    ).count()
+    n_null_l = left.filter(F.col("k").isNull()).count()
+    n_null_r = right.filter(F.col("rk").isNull()).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_plain,
+                n_nullsafe,
+                n_null_l,
+                n_null_r,
+                n_nullsafe - n_plain == n_null_l * n_null_r,
+            )
+        ],
+        "n_plain_matches BIGINT, n_nullsafe_matches BIGINT, "
+        "n_null_left BIGINT, n_null_right BIGINT, "
+        "delta_is_null_cross BOOLEAN",
+    )

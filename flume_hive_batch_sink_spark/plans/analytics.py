@@ -878,3 +878,75 @@ def pipeline_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lt.touch_id").alias("last_touch_id"),
         F.col("lt.channel").alias("last_channel"),
     )
+
+
+@query(
+    "pipeline_weekly_churn",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST((CAST(strftime(ts, '%d') AS INT) - 1) // 7 AS BIGINT)
+               AS wk
+      FROM events
+    ), weeks AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS active_users FROM active
+      GROUP BY wk
+    ), retained AS (
+      SELECT a.wk, CAST(count(*) AS BIGINT) AS retained_users
+      FROM active a JOIN active b
+        ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      GROUP BY a.wk
+    )
+    SELECT w.wk, w.active_users,
+           coalesce(r.retained_users, 0) AS retained_users,
+           w.active_users - coalesce(r.retained_users, 0) AS churned_users,
+           CAST(ROUND((w.active_users - coalesce(r.retained_users, 0))
+                      / CAST(w.active_users AS DOUBLE), 4) AS DOUBLE)
+             AS churn_rate
+    FROM weeks w LEFT JOIN retained r ON w.wk = r.wk
+    WHERE w.wk < (SELECT MAX(wk) FROM weeks)
+    """,
+)
+def pipeline_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: users active in week w with no activity in week
+    w+1 — the subscription-health metric, week = integer (day-1)//7 of
+    the fixture month (calendar-grain churn is the same query on a
+    month key). Dataflow: one distinct on (user, week) — the only
+    touch of the fact table — then week-pair retention via a
+    self-equi-join on (user, week+1) and per-week counts; the final
+    week is excluded (its retention window hasn't closed — the
+    standard right-censoring rule). All-integer keys; one exact
+    division per row of a calendar-bounded result."""
+    ev = load(spark, sf_dir, "events")
+    wk = ((F.dayofmonth("ts") - 1) / 7).cast("long")
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    weeks = active.groupBy("wk").agg(F.count("*").alias("active_users"))
+    b = active.select(
+        F.col("user_id").alias("b_user"), (F.col("wk") - 1).alias("prev_wk")
+    )
+    retained = (
+        active.join(
+            b,
+            (active.user_id == b.b_user) & (active.wk == b.prev_wk),
+        )
+        .groupBy("wk")
+        .agg(F.count("*").alias("retained_users"))
+    )
+    max_wk = weeks.agg(F.max("wk").alias("m"))
+    out = (
+        weeks.join(retained, "wk", "left")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") < F.col("m"))
+    )
+    churned = F.col("active_users") - F.coalesce(
+        F.col("retained_users"), F.lit(0)
+    )
+    return out.select(
+        "wk",
+        "active_users",
+        F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+        churned.alias("churned_users"),
+        F.round(
+            churned / F.col("active_users").cast("double"), 4
+        ).alias("churn_rate"),
+    )

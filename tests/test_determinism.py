@@ -115,6 +115,8 @@ RISKY = [
     "agg_gini_spend",
     "sketch_hll_intersection",
     "llm_prefix_dup",
+    "pipeline_weekly_churn",
+    "join_null_safe",
 ]
 
 
