@@ -612,3 +612,47 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_100km"
         ),
     )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+           || '5' || substr(hx, 14, 3) || '-'
+           || '8' || substr(hx, 18, 3) || '-' || substr(hx, 21, 12)
+             AS uuid5,
+           (length(substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+           || '5' || substr(hx, 14, 3) || '-'
+           || '8' || substr(hx, 18, 3) || '-' || substr(hx, 21, 12)) = 36)
+             AS len_ok
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUIDs (the UUIDv5 pattern: hash a
+    namespace + name, stamp version/variant nibbles, format 8-4-4-4-12)
+    — the content-addressed row identity every idempotent pipeline
+    needs (Spark's uuid() is random and repartition-unstable, exactly
+    what an exactly-once sink cannot use; this is the dedup_replay /
+    split_train_test identity discipline surfaced as a function
+    family). Pure codegen string ops over md5 — identical across
+    engines, no UDF, no state."""
+    d = load(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    parts = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"),
+        F.substring(hx, 9, 4), F.lit("-"),
+        F.lit("5"), F.substring(hx, 14, 3), F.lit("-"),
+        F.lit("8"), F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12),
+    )
+    return d.select(
+        "doc_id",
+        parts.alias("uuid5"),
+        (F.length(parts) == 36).alias("len_ok"),
+    )

@@ -950,3 +950,46 @@ def pipeline_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             churned / F.col("active_users").cast("double"), 4
         ).alias("churn_rate"),
     )
+
+
+@query(
+    "pipeline_new_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_dt
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events
+    )
+    SELECT d.dt,
+           CAST(SUM(CASE WHEN d.dt = f.first_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.dt <> f.first_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily d JOIN first_seen f ON d.user_id = f.user_id
+    GROUP BY d.dt
+    """,
+)
+def pipeline_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: a user's first-ever active day
+    classifies them 'new' that day and 'returning' every later active
+    day — the acquisition-vs-engagement decomposition of DAU. Two hash
+    aggs on user_id (first-seen and daily-active share the
+    partitioning) + a broadcast-scale join of two user-keyed
+    aggregates; string day keys keep the compare engine-exact. At
+    100 TB first_seen is an incrementally-maintained snapshot
+    (etl_incremental_agg_merge's MIN law — never recomputed from
+    history)."""
+    ev = load(spark, sf_dir, "events")
+    dt = F.date_format("ts", "yyyy-MM-dd")
+    first_seen = ev.groupBy("user_id").agg(F.min(dt).alias("first_dt"))
+    daily = ev.select("user_id", dt.alias("dt")).distinct()
+    j = daily.join(first_seen, "user_id")
+    return j.groupBy("dt").agg(
+        F.sum(
+            F.when(F.col("dt") == F.col("first_dt"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("dt") != F.col("first_dt"), 1).otherwise(0)
+        ).alias("returning_users"),
+    )

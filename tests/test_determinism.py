@@ -117,6 +117,8 @@ RISKY = [
     "llm_prefix_dup",
     "pipeline_weekly_churn",
     "join_null_safe",
+    "pipeline_new_returning",
+    "fn_uuid_deterministic",
 ]
 
 
