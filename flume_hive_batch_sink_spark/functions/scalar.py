@@ -656,3 +656,42 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.alias("uuid5"),
         (F.length(parts) == 36).alias("len_ok"),
     )
+
+
+@query(
+    "fn_encoding_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+    )
+    SELECT doc_id,
+           base64(encode(s)) AS b64,
+           lower(hex(encode(s))) AS hexed,
+           decode(from_base64(base64(encode(s)))) = s AS b64_roundtrip,
+           CAST(length(base64(encode(s))) AS INT) AS b64_len,
+           CAST(length(hex(encode(s))) AS INT) AS hex_len
+    FROM src
+    """,
+)
+def fn_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding function family: base64 and hex of UTF-8 text
+    with a decode round-trip certificate — the serialization layer of
+    every header-carrying event pipeline (the reference moves opaque
+    byte bodies; these are the codecs that make them printable). All
+    JVM codegen (base64/unbase64/hex string ops); both engines emit
+    RFC-4648 base64 and matching hex (lowercased — Spark hex() is
+    upper, DuckDB lower; the operator normalizes, a real
+    cross-engine trap pinned here). Map-only, fused into the scan."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.substring("text", 1, 24).alias("s"))
+    sb = F.col("s").cast("binary")
+    return src.select(
+        "doc_id",
+        F.base64(sb).alias("b64"),
+        F.lower(F.hex(sb)).alias("hexed"),
+        (F.unbase64(F.base64(sb)).cast("string") == F.col("s")).alias(
+            "b64_roundtrip"
+        ),
+        F.length(F.base64(sb)).alias("b64_len"),
+        F.length(F.hex(sb)).alias("hex_len"),
+    )

@@ -993,3 +993,176 @@ def pipeline_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dt") != F.col("first_dt"), 1).otherwise(0)
         ).alias("returning_users"),
     )
+
+
+@query(
+    "pipeline_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST((CAST(strftime(MIN(ts), '%d') AS INT) - 1) // 7 AS BIGINT)
+               AS cohort_wk
+      FROM events GROUP BY user_id
+    ), spend AS (
+      SELECT e.user_id, c.cohort_wk,
+             CAST((CAST(strftime(e.ts, '%d') AS INT) - 1) // 7 AS BIGINT)
+               - c.cohort_wk AS wk_offset,
+             CAST(ROUND(e.value, 4) AS DECIMAL(18,4)) AS v
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+    ), wk_rev AS (
+      SELECT cohort_wk, wk_offset, SUM(v) AS wk_value
+      FROM spend GROUP BY cohort_wk, wk_offset
+    ), sizes AS (
+      SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_wk
+    )
+    SELECT w.cohort_wk, w.wk_offset, s.cohort_size,
+           CAST(ROUND(SUM(w2.wk_value), 2) AS DOUBLE) AS cum_value,
+           CAST(ROUND(CAST(SUM(w2.wk_value) AS DOUBLE) / s.cohort_size, 6)
+                AS DOUBLE) AS ltv_per_user
+    FROM wk_rev w
+    JOIN wk_rev w2 ON w2.cohort_wk = w.cohort_wk
+                  AND w2.wk_offset <= w.wk_offset
+    JOIN sizes s ON s.cohort_wk = w.cohort_wk
+    GROUP BY w.cohort_wk, w.wk_offset, s.cohort_size
+    """,
+)
+def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase value accumulated by weeks-since-acquisition, normalized
+    per cohort head — the LTV matrix growth teams read (each row is a
+    point on one cohort's curve). Spark builds the cumulative with an
+    ordered window over the (cohort, offset) aggregate — a
+    calendar-bounded relation, so the window is trivially cheap; the
+    oracle expresses the identical running sum as a self-join (DuckDB
+    window frames and this join are equivalent on exact DECIMALs).
+    Heavy lifting: one MIN-per-user agg (the incrementally
+    maintainable first-seen snapshot) + one purchase-side hash agg."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    wk = ((F.dayofmonth("ts") - 1) / 7).cast("long")
+    cohort = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .select(
+            "cohort_wk",
+            (wk - F.col("cohort_wk")).alias("wk_offset"),
+            F.round("value", 4).cast("decimal(18,4)").alias("v"),
+        )
+    )
+    wk_rev = spend.groupBy("cohort_wk", "wk_offset").agg(
+        F.sum("v").alias("wk_value")
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w_cum = (
+        W.partitionBy("cohort_wk")
+        .orderBy("wk_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = wk_rev.select(
+        "cohort_wk",
+        "wk_offset",
+        F.sum("wk_value").over(w_cum).alias("cum_v"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "wk_offset",
+        "cohort_size",
+        F.round(F.col("cum_v").cast("double"), 2).alias("cum_value"),
+        F.round(
+            F.col("cum_v").cast("double") / F.col("cohort_size"), 6
+        ).alias("ltv_per_user"),
+    )
+
+
+@query(
+    "pipeline_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list_slice(
+               string_split(
+                 string_agg(event_type, '>' ORDER BY ts, event_id), '>'),
+               1, 5), '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    ), counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, rk FROM (
+      SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+      FROM counted)
+    WHERE rk <= 10
+    """,
+)
+def pipeline_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: each session's first five event types joined
+    into a path signature ('view>click>purchase...'), counted across
+    the corpus, top-10 — the navigation-flow mining behind funnel
+    DESIGN (pipeline_funnel measures a chosen funnel; this surfaces
+    which funnels exist). Sessionization reuses the 30-min idle-gap
+    construction; the in-session ordering is made shuffle-proof by
+    sorting the collected (ts, event_id, type) structs INSIDE the
+    row (sort_array — collect order never matters), then truncating
+    to 5 — bounded state per session regardless of session length.
+    Path counting is an ordinary hash agg on a bounded signature
+    domain; the final top-10 compiles to TakeOrdered."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w_rk = W.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_sessions", "rk")
+    )

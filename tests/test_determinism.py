@@ -119,6 +119,9 @@ RISKY = [
     "join_null_safe",
     "pipeline_new_returning",
     "fn_uuid_deterministic",
+    "fn_encoding_roundtrip",
+    "pipeline_cohort_ltv",
+    "pipeline_session_paths",
 ]
 
 
