@@ -942,3 +942,41 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_argmax_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        * 10000000 + o_orderkey AS BIGINT)) AS best_order,
+           arg_min(o_orderkey,
+                   CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        * 10000000 + o_orderkey AS BIGINT)) AS worst_order,
+           ROUND(MAX(o_totalprice), 2) AS best_price,
+           ROUND(MIN(o_totalprice), 2) AS worst_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by / min_by — SQL:2023's ANY_VALUE
+    cousins): each customer's most and least expensive order id in ONE
+    pass — no window, no self-join, partial-aggregable (each partition
+    keeps one candidate). Both engines leave TIES implementation-
+    defined, so the ordering value is made STRICTLY UNIQUE by packing
+    (cents x 1e7 + orderkey) into one BIGINT — the
+    determinism-by-construction move every value-hash-checked argmax
+    needs (same reason the window keys carry tiebreakers). Price in
+    cents via ROUND(x*100) keeps the pack integer-exact."""
+    o = load(spark, sf_dir, "orders")
+    pack = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000000
+        + F.col("o_orderkey")
+    ).cast("long")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", pack).alias("best_order"),
+        F.min_by("o_orderkey", pack).alias("worst_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.round(F.min("o_totalprice"), 2).alias("worst_price"),
+    )

@@ -122,6 +122,8 @@ RISKY = [
     "fn_encoding_roundtrip",
     "pipeline_cohort_ltv",
     "pipeline_session_paths",
+    "agg_argmax_minmax_by",
+    "etl_partition_manifest_checksum",
 ]
 
 
