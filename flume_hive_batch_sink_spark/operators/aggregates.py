@@ -980,3 +980,62 @@ def agg_argmax_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("best_price"),
         F.round(F.min("o_totalprice"), 2).alias("worst_price"),
     )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+    WITH per_cell AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+             SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY dt, event_type
+    ), with_tot AS (
+      SELECT dt, event_type, v,
+             SUM(v) OVER (PARTITION BY dt) AS day_total,
+             SUM(v) OVER () AS grand_total
+      FROM per_cell
+    )
+    SELECT dt, event_type,
+           CAST(ROUND(CAST(v AS DOUBLE), 2) AS DOUBLE) AS cell_value,
+           CAST(ROUND(CAST(v AS DOUBLE) / CAST(day_total AS DOUBLE), 6)
+                AS DOUBLE) AS share_of_day,
+           CAST(ROUND(CAST(v AS DOUBLE) / CAST(grand_total AS DOUBLE), 6)
+                AS DOUBLE) AS share_of_total
+    FROM with_tot
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-over-time matrix: each (day, event type) cell's value
+    as a share of its day and of the whole table — the
+    percent-of-total window pattern (SUM OVER at two grouping levels
+    on one pass) behind every stacked-area composition chart. The
+    windows run over the (days x types) AGGREGATE — calendar-bounded —
+    never the fact table; cell sums are DECIMAL-exact so both share
+    divisions divide identical exact numerators/denominators.
+    Contrast with win_cume_percent (rank distribution WITHIN a
+    group): this is mass composition ACROSS groups."""
+    ev = load(spark, sf_dir, "events")
+    per_cell = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
+    ).agg(F.sum(F.round("value", 4).cast("decimal(18,4)")).alias("v"))
+    w_day = Window.partitionBy("dt")
+    w_all = Window.partitionBy()
+    with_tot = per_cell.select(
+        "dt",
+        "event_type",
+        "v",
+        F.sum("v").over(w_day).alias("day_total"),
+        F.sum("v").over(w_all).alias("grand_total"),
+    )
+    v = F.col("v").cast("double")
+    return with_tot.select(
+        "dt",
+        "event_type",
+        F.round(v, 2).alias("cell_value"),
+        F.round(v / F.col("day_total").cast("double"), 6).alias(
+            "share_of_day"
+        ),
+        F.round(v / F.col("grand_total").cast("double"), 6).alias(
+            "share_of_total"
+        ),
+    )

@@ -124,6 +124,7 @@ RISKY = [
     "pipeline_session_paths",
     "agg_argmax_minmax_by",
     "etl_partition_manifest_checksum",
+    "agg_share_of_total",
 ]
 
 
