@@ -572,7 +572,7 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(lat1, 4) AS DOUBLE) AS lat1,
            CAST(ROUND(lon1, 4) AS DOUBLE) AS lon1,
            CAST(ROUND(12742.0 * asin(sqrt(a)), 2) AS DOUBLE) AS dist_km,
-           (6371.0 * 2 * asin(sqrt(a)) < 100.0) AS within_100km
+           (ROUND(6371.0 * 2 * asin(sqrt(a)), 9) < 100.0) AS within_100km
     FROM hav
     """,
 )
@@ -608,7 +608,10 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat1", 4).alias("lat1"),
         F.round("lon1", 4).alias("lon1"),
         F.round(F.lit(12742.0) * F.asin(F.sqrt("a")), 2).alias("dist_km"),
-        (F.lit(6371.0) * 2 * F.asin(F.sqrt("a")) < 100.0).alias(
+        # round-before-compare on BOTH engines (repo convention): a
+        # last-ulp libm divergence at the 100 km boundary must not
+        # flip the predicate.
+        (F.round(F.lit(6371.0) * 2 * F.asin(F.sqrt("a")), 9) < 100.0).alias(
             "within_100km"
         ),
     )

@@ -1181,17 +1181,22 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    # explicit x_qid alias: both sides of this join descend from the
+    # same scan, so without distinct attribute names Spark falls back
+    # to its ambiguous-self-join heuristic ("trivially true equals
+    # predicate" warning) — fragile across versions. Distinct names
+    # make the condition unambiguous by construction.
     exact10 = (
         exact0.withColumn("ek", F.row_number().over(w_ek))
         .filter(F.col("ek") <= 10)
-        .select("qid", F.col("vec_id").alias("x_id"))
+        .select(F.col("qid").alias("x_qid"), F.col("vec_id").alias("x_id"))
     )
     hits = approx.join(
         exact10,
-        (approx.qid == exact10.qid) & (approx.nn_id == exact10.x_id),
+        (F.col("qid") == F.col("x_qid")) & (F.col("nn_id") == F.col("x_id")),
         "left",
     ).select(
-        approx.qid,
+        "qid",
         "rk",
         "nn_id",
         "ascore",
@@ -1222,9 +1227,10 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), q AS (
       SELECT vec_id,
-             list_transform(e, x -> CAST(ROUND(
-               CAST(ROUND((x - lo) * 255 / (hi - lo), 9) AS DECIMAL(18,9)),
-               0) AS BIGINT)) AS codes,
+             list_transform(e, x -> CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+               ELSE CAST(ROUND(
+                 CAST(ROUND((x - lo) * 255 / (hi - lo), 9) AS DECIMAL(18,9)),
+                 0) AS BIGINT) END) AS codes,
              lo, hi
       FROM stats
     )
@@ -1256,13 +1262,20 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("e").alias("lo"),
         F.array_max("e").alias("hi"),
     )
+    # degenerate-range guard (hi == lo, i.e. a constant vector): the
+    # 0/0 ratio is engine-divergent (Spark non-ANSI Divide -> NULL,
+    # DuckDB -> NaN), so BOTH sides pin the code to 0 explicitly.
     codes = F.transform(
         F.col("e"),
-        lambda x: F.round(
-            F.round((x - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")), 9)
-            .cast("decimal(18,9)"),
-            0,
-        ).cast("long"),
+        lambda x: F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.round(
+                    (x - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")), 9
+                ).cast("decimal(18,9)"),
+                0,
+            ).cast("long")
+        ),
     )
     q = stats.select("vec_id", codes.alias("codes"), "lo", "hi")
     return q.select(
@@ -1324,16 +1337,15 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar DIFFERENT-label vector (hardest negative), plus the
     margin between them — the triplet-selection pass that decides
     contrastive batch quality. The anchor set is a deterministic
-    sliver (mod-{mod}), broadcast against the corpus, so the scan is
-    one map-side pass per side with a per-anchor argmax window —
-    candidates never materialize beyond (anchor x corpus) rows with
-    8-byte scores. Scores are round-then-DECIMAL dots: the argmax
-    (and therefore the mined triplet) cannot flip on summation order.
-    At 100 TB the corpus side routes through the LSH/IVF candidate
-    generators first (llm_ann_lsh / llm_ann_ivf) — mining only probes
-    bucket-mates, same gate as every pairwise kernel here.""".format(
-        mod=_HN_ANCHOR_MOD
-    )
+    sliver (mod-97, ``_HN_ANCHOR_MOD``), broadcast against the corpus,
+    so the scan is one map-side pass per side with a per-anchor argmax
+    window — candidates never materialize beyond (anchor x corpus)
+    rows with 8-byte scores. Scores are round-then-DECIMAL dots: the
+    argmax (and therefore the mined triplet) cannot flip on summation
+    order. At 100 TB the corpus side routes through the LSH/IVF
+    candidate generators first (llm_ann_lsh / llm_ann_ivf) — mining
+    only probes bucket-mates, same gate as every pairwise kernel
+    here."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
     anchors = e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(

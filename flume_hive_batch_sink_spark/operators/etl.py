@@ -624,38 +624,46 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     At 100 TB this is THE mechanism that bounds a backfill's write
     amplification to the touched partitions."""
     import os as _os
+    import shutil
     import tempfile
 
     ev = load(spark, sf_dir, "events").withColumn(
         "dt", F.date_format("ts", "yyyy-MM-dd")
     )
     base = tempfile.mkdtemp(prefix="dpo_")
-    tbl = _os.path.join(base, "events_by_dt")
-    ev.select("event_id", "value", "event_type", "dt").write.mode(
-        "overwrite"
-    ).partitionBy("dt").parquet(tbl)
-
-    corrections = (
-        ev.filter(
-            (F.col("dt") >= "2024-01-20") & (F.col("event_type") == "purchase")
-        )
-        .withColumn("value", F.col("value") * 2)
-        .select("event_id", "value", "event_type", "dt")
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        corrections.write.mode("overwrite").partitionBy("dt").parquet(tbl)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        tbl = _os.path.join(base, "events_by_dt")
+        ev.select("event_id", "value", "event_type", "dt").write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(tbl)
 
-    back = spark.read.parquet(tbl)
-    return back.groupBy("dt").agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("sum_value"),
-    )
+        corrections = (
+            ev.filter(
+                (F.col("dt") >= "2024-01-20")
+                & (F.col("event_type") == "purchase")
+            )
+            .withColumn("value", F.col("value") * 2)
+            .select("event_id", "value", "event_type", "dt")
+        )
+        # writer-scoped dynamic mode: no session-global conf mutation,
+        # so concurrent queries on the same session are unaffected.
+        corrections.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("dt").parquet(tbl)
+
+        back = spark.read.parquet(tbl)
+        agg = back.groupBy("dt").agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        # materialize the (day-level, ~tens of rows) result before the
+        # temp tree is removed — the returned plan must not depend on
+        # files this finally block deletes. NOT a data-sized collect.
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -827,7 +835,14 @@ def etl_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    del_keys = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    # distinct attribute name (del_key) on the deletion list: the
+    # customer-table audit is otherwise a self-join on the same
+    # c_custkey attribute, held together only by Spark's
+    # ambiguous-self-join heuristic — fragile across versions.
+    del_keys = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("del_key"))
+    )
     b_del = F.broadcast(del_keys)
 
     def audit(tbl, df, key, via=None):
@@ -837,10 +852,10 @@ def etl_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             key = "k"
         survivors = df.join(
-            b_del, df[key] == del_keys.c_custkey, "left_anti"
+            b_del, F.col(key) == F.col("del_key"), "left_anti"
         ).count()
         victims = df.join(
-            b_del, df[key] == del_keys.c_custkey, "left_semi"
+            b_del, F.col(key) == F.col("del_key"), "left_semi"
         ).count()
         return (tbl, df.count(), survivors, victims)
 
