@@ -483,12 +483,54 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.groupBy("vec_id").agg(bucket.cast("long").alias("bucket"))
 
 
-_IVF_STRIDE = 100  # centroid list: every 100th vec_id (deterministic)
+# ---------------------------------------------------------------------------
+# Coarse-quantizer sizing — shared by the whole IVF / SemDeDup family
+# ---------------------------------------------------------------------------
+#
+# k = clamp(ceil(sqrt(n)), 4, _QUANT_K_CAP). sqrt(n) balances IVF's two
+# cost terms — centroid assignment is n·k and in-list search is
+# Σ|cluster|² ≈ n²/k, so both land at n^1.5 — and the cap bounds what
+# the driver or an Arrow-kernel closure may ever hold: centroid state
+# is O(min(⌈√n⌉, 4096)·dim) doubles (KBs→2 MB at dim 64), NEVER linear
+# in the data. Above the closure budget, assignment switches to a
+# blocked-GEMM join against a centroid DataFrame (_centroid_probes).
+# The stride form (every stride-th vec_id is a centroid, stride =
+# ⌈n/k⌉) keeps centroid selection SQL-replayable for the hash-oracle
+# keys; the float expression below is mirrored verbatim in the oracles'
+# p CTE so both engines derive the identical stride (property-tested
+# against DuckDB in tests/test_quantizer.py).
+
+_QUANT_K_CAP = 4096
+
+
+def _quantizer_k(n: int) -> int:
+    """Centroid count for an n-vector corpus: ⌈√n⌉ clamped to [4, 4096]."""
+    import math
+
+    return int(max(4.0, min(float(_QUANT_K_CAP), math.ceil(math.sqrt(n)))))
+
+
+def _centroid_stride(n: int) -> int:
+    """Deterministic centroid stride ⌈n / k⌉ — every stride-th vec_id is
+    a centroid, yielding ~_quantizer_k(n) centroids. Computed with the
+    exact IEEE-double expression the SQL oracles use."""
+    import math
+
+    kf = max(4.0, min(float(_QUANT_K_CAP), math.ceil(math.sqrt(n))))
+    return int(math.ceil(n / kf))
+
+
+# SQL twin of _centroid_stride: same clamp, same double math, DuckDB-side.
+_STRIDE_CTE = (
+    "SELECT CAST(ceil(count(*) / greatest(4.0, least({cap}.0, "
+    "ceil(sqrt(count(*)))))) AS BIGINT) AS stride FROM embeddings"
+).format(cap=_QUANT_K_CAP)
 
 _IVF_ORACLE = f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding FROM embeddings
-      WHERE vec_id % {_IVF_STRIDE} = 0
+    WITH p AS ({_STRIDE_CTE}),
+    cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings, p
+      WHERE vec_id % p.stride = 0
     ), assign AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -523,19 +565,24 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to its nearest centroid (cosine), then search top-1 within the
     probed cluster only (nprobe=1).
 
-    Centroids here are the deterministic stride-100 subset of the
-    vectors themselves (oracle-reproducible); a production deployment
-    swaps in k-means centroids — the dataflow is identical. The 100 TB
-    shape: the centroid list is tiny and broadcast (assignment is one
-    linear pass, no shuffle); candidate generation shuffles on the
-    cluster id, so each inverted list joins locally — O(n·k_cent) +
-    Σ|cluster|² instead of O(n²), with nprobe tuning recall.
+    Centroids are the deterministic stride subset of the vectors
+    themselves (oracle-reproducible), sized sublinearly: k ≈ ⌈√n⌉
+    capped at 4096 (_quantizer_k), stride = ⌈n/k⌉ — the oracle's p CTE
+    derives the identical stride, so both engines pick the same
+    centroid set at every scale. A production deployment swaps in
+    k-means centroids (llm_ann_ivf_kmeans) — the dataflow is
+    identical. The 100 TB shape: the centroid list is O(√n) capped and
+    broadcast (assignment is one linear pass, no shuffle); candidate
+    generation shuffles on the cluster id, so each inverted list joins
+    locally — O(n·√n) assignment + Σ|cluster|² ≈ n^1.5 in-list search
+    instead of O(n²), with nprobe tuning recall.
     """
     emb = load(spark, sf_dir, "embeddings")
+    stride = _centroid_stride(emb.count())
     e = emb.select("vec_id", _as_double("embedding").alias("e")).withColumn(
         "n", F.sqrt(dot(F.col("e"), F.col("e")))
     )
-    cent = e.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+    cent = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("e").alias("ce"),
         F.col("n").alias("cn"),
@@ -571,52 +618,200 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_ITERS = 5  # fixed Lloyd iterations — deterministic, no tol loop
 
+# Largest training set Lloyd's iterations ever touch: deterministic
+# modulo-sample above this, so training cost is O(cap·k·iters) no
+# matter how big the corpus — the quantizer is a sketch of the data
+# distribution, not a function of every row.
+_KMEANS_TRAIN_CAP = 65536
 
-def _kmeans_centroids(emb: DataFrame, k: int, iters: int = _KMEANS_ITERS):
-    """Seeded distributed Lloyd's k-means over the embedding column;
-    returns the trained centroids as a row-normalized numpy (k, dim)
-    matrix on the driver.
+# Closure budget for centroid assignment, in float64 slots: at or
+# under this, the centroid matrix rides the Arrow kernel's closure
+# (one map-only pass, zero shuffle); above it, assignment becomes a
+# blocked-GEMM join against a centroid DataFrame so no task payload or
+# driver structure scales with k. 2^20 doubles = 8 MB.
+_ASSIGN_CLOSURE_DOUBLES = 1 << 20
 
-    Deterministic by construction: init = the stride subset of the
-    vectors themselves (same seed as ``llm_ann_ivf``), a FIXED number of
-    iterations, and every reduction is an exact per-dimension mean
-    (no sampling, no RNG). Dataflow per iteration is the textbook
-    scale-out: centroids are driver-side (k·dim doubles — KBs) and ship
-    to executors inside the Arrow kernel's closure; assignment is one
-    map-only ``mapInPandas`` pass (each batch computes an (batch × k)
-    GEMM and argmax); the update is a built-in groupBy mean over the
-    exploded (cid, dim, x) rows — partial-aggregated map-side, so what
-    shuffles is k·dim partial sums per task, not data. Driver memory
-    stays O(k·dim) — nothing data-sized is ever collected.
+
+def _train_sample_mod(n: int) -> int:
+    """Deterministic training-sample stride: vec_id % mod == 0 keeps
+    ≤ ~_KMEANS_TRAIN_CAP rows regardless of corpus size."""
+    import math
+
+    return max(1, math.ceil(n / _KMEANS_TRAIN_CAP))
+
+
+def _centroid_probes(vec_df: DataFrame, cent_mat, nprobe: int) -> DataFrame:
+    """Assign every vector its ``nprobe`` nearest centroids by cosine:
+    (vec_id, cid, probes) with cid the top-1 and probes the ranked
+    nprobe list (ints indexing ``cent_mat`` rows).
+
+    ``cent_mat`` is a row-normalized numpy (k, dim) matrix; vectors in
+    ``vec_df`` ("vec_id", "e") are normalized in-kernel. Dispatch on
+    the closure budget: k·dim ≤ _ASSIGN_CLOSURE_DOUBLES ships the
+    matrix in the Arrow kernel's closure (map-only, no shuffle);
+    larger quantizers route through _centroid_probes_join so neither
+    the task payload nor any single partition ever holds the full
+    centroid set. Ties break toward the lower cid on BOTH paths
+    (stable argsort / window ORDER BY sim DESC, cid).
     """
     import numpy as np
     import pandas as pd
 
-    dim_df = emb.select(F.size("embedding").alias("d")).limit(1).collect()
-    dim = int(dim_df[0]["d"])
-    cent = np.array(
-        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
-        .orderBy("vec_id")
-        .select(_as_double("embedding").alias("e"))
-        .toPandas()["e"]
-        .tolist(),
-        dtype=np.float64,
-    )[:k]
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    k, dim = cent_mat.shape
+    p = min(nprobe, k)
+    if k * dim > _ASSIGN_CLOSURE_DOUBLES:
+        cent_df = vec_df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(cent_mat)],
+            "cid INT, ce ARRAY<DOUBLE>",
+        )
+        return _centroid_probes_join(vec_df, cent_df, p)
 
-    e_norm = emb.select("vec_id", _as_double("embedding").alias("e"))
+    def assign(batches, c_mat=cent_mat, pp=p):
+        for pdf in batches:
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T
+            cid = np.argmax(sims, axis=1)
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :pp]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cid": cid.astype(np.int32),
+                    "probes": [r.astype(np.int32).tolist() for r in probes],
+                }
+            )
+
+    return vec_df.select("vec_id", "e").mapInPandas(
+        assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>"
+    )
+
+
+def _centroid_probes_join(
+    vec_df: DataFrame, cent_df: DataFrame, nprobe: int
+) -> DataFrame:
+    """Centroid assignment as a blocked-GEMM join — the over-budget
+    path of _centroid_probes, and the shape a 100 TB deployment uses
+    when the quantizer outgrows a closure: centroids live in a
+    DataFrame ("cid", "ce"), never in a Python closure and (when they
+    come from a distributed build) never on the driver at all.
+
+    Vectors and centroids are grouped into ≤_BLOCK-row blocks; every
+    (vblk, cblk) combination is one task computing a (≤1024 × ≤1024)
+    float64 GEMM and emitting each vector's block-local top-nprobe; a
+    per-vector window then merges block-local winners into the global
+    ranked probe list. Work is n·k multiply-adds (same as closure
+    assignment), but what shuffles is n·⌈k/_BLOCK⌉·nprobe candidate
+    rows of three scalars — never n·k pair rows, never array payloads.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vb = (
+        vec_df.select(
+            (F.col("vec_id") / _BLOCK).cast("int").alias("vblk"),
+            F.struct("vec_id", "e").alias("v"),
+        )
+        .groupBy("vblk")
+        .agg(F.collect_list("v").alias("vs"))
+    )
+    cb = (
+        cent_df.select(
+            (F.col("cid") / _BLOCK).cast("int").alias("cblk"),
+            F.struct("cid", "ce").alias("c"),
+        )
+        .groupBy("cblk")
+        .agg(F.collect_list("c").alias("cs"))
+    )
+    pairs = vb.crossJoin(cb).repartition(F.col("vblk"), F.col("cblk"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                vids = np.array([v["vec_id"] for v in row["vs"]], dtype=np.int64)
+                vmat = np.array([v["e"] for v in row["vs"]], dtype=np.float64)
+                vmat /= np.linalg.norm(vmat, axis=1, keepdims=True)
+                cids = np.array([c["cid"] for c in row["cs"]], dtype=np.int64)
+                cmat = np.array([c["ce"] for c in row["cs"]], dtype=np.float64)
+                order = np.argsort(cids)  # global-cid tiebreak inside the block
+                cids, cmat = cids[order], cmat[order]
+                cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+                sims = vmat @ cmat.T
+                pp = min(nprobe, sims.shape[1])
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :pp]
+                rows = np.repeat(np.arange(len(vids)), pp)
+                cols = idx.ravel()
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids[rows],
+                            "cid": cids[cols].astype(np.int32),
+                            "sim": sims[rows, cols],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cid": pd.Series(dtype="int32"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+
+    cand = pairs.mapInPandas(kernel, "vec_id BIGINT, cid INT, sim DOUBLE")
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    ranked = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= nprobe
+    )
+    return ranked.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "cid"))),
+            lambda s: s["cid"],
+        ).alias("probes"),
+    )
+
+
+def _kmeans_centroids(
+    emb: DataFrame, k: int, n_vec: int | None = None, iters: int = _KMEANS_ITERS
+):
+    """Seeded distributed Lloyd's k-means over the embedding column;
+    returns the trained centroids as a row-normalized numpy (k, dim)
+    matrix on the driver — O(k·dim) with k capped at _QUANT_K_CAP, so
+    the driver never holds anything that grows with the corpus.
+
+    Deterministic by construction: init = the FIRST k rows (by vec_id,
+    ``limit(k)`` pushed into the query so the driver never materializes
+    rows it discards) of a deterministic modulo training sample capped
+    at _KMEANS_TRAIN_CAP rows, a FIXED number of iterations, and every
+    reduction is an exact per-dimension mean (no RNG). Per iteration:
+    assignment goes through _centroid_probes (closure kernel under the
+    budget, blocked-GEMM join above it); the update is a built-in
+    groupBy mean over exploded (cid, dim, x) rows — partial-aggregated
+    map-side, so what shuffles is k·dim partial sums per task, not
+    data. The sample bound makes training cost independent of corpus
+    size: the quantizer is a sketch of the distribution, not a
+    function of every row.
+    """
+    import numpy as np
+
+    if n_vec is None:
+        n_vec = emb.count()
+    samp_mod = _train_sample_mod(n_vec)
+    train = emb.filter(F.col("vec_id") % samp_mod == 0).select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    init_rows = (
+        train.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
+    )
+    cent = np.array(init_rows, dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    k = cent.shape[0]  # degenerate corpora smaller than k
+    dim = cent.shape[1]
 
     for _ in range(iters):
-        c_mat = cent  # rebind for closure capture of THIS iteration
-
-        def assign(batches, c_mat=c_mat):
-            for pdf in batches:
-                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
-                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-                cid = np.argmax(mat @ c_mat.T, axis=1)
-                yield pd.DataFrame({"cid": cid.astype(np.int32), "e": pdf["e"]})
-
-        assigned = e_norm.mapInPandas(assign, "cid INT, e ARRAY<DOUBLE>")
+        probes = _centroid_probes(train, cent, 1).select("vec_id", "cid")
+        assigned = train.join(probes, "vec_id")
         means = (
             assigned.select("cid", F.posexplode("e").alias("j", "x"))
             .groupBy("cid", "j")
@@ -645,11 +840,14 @@ def _kmeans_centroids(emb: DataFrame, k: int, iters: int = _KMEANS_ITERS):
 def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with TRAINED coarse quantizer — upgrades ``llm_ann_ivf``'s
     stride-subset centroid list to seeded Lloyd's k-means (fixed
-    iterations, deterministic init), the production IVF build. Search is
-    identical: assign each vector to its nearest centroid (map-only,
-    centroids broadcast in the kernel closure), then top-1 within the
-    probed inverted list (shuffle on cid — Σ|cluster|² work instead of
-    n²).
+    iterations, deterministic init, training sample capped at
+    _KMEANS_TRAIN_CAP rows), the production IVF build, with the
+    sublinear k = ⌈√n⌉∧4096 sizing (_quantizer_k) so assignment work
+    is n·√n and driver/closure centroid state is bounded. Search:
+    assign each vector its probe lists via _centroid_probes (closure
+    kernel under the 8 MB budget, blocked-GEMM join above it), then
+    top-1 within the probed inverted lists (shuffle on cid —
+    Σ|cluster|² ≈ n^1.5 work instead of n²).
 
     Certificate oracle (operators/sketches.py pattern): k-means is
     iterative and not SQL-expressible, so instead of replaying the
@@ -662,12 +860,11 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no cluster structure beyond the ~5% dup tail — gen_sf.py
     docstring), the worst case for IVF: a query's true NN is only
     weakly correlated with its Voronoi cell, and measured recall@1 at
-    nprobe=1 is ~0.4. Hitting the 0.9 contract on such data needs
-    nprobe ≈ 0.8·k (measured: k=5 → nprobe 4 gives 0.938). On real
-    embedding corpora (clustered by construction) nprobe ≪ k achieves
-    the same recall — the dataflow below is identical, only the
-    constant changes; the certificate makes the trade measurable
-    instead of assumed."""
+    nprobe=1 is low. Hitting the 0.9 contract on such data needs
+    nprobe ≈ 0.8·k. On real embedding corpora (clustered by
+    construction) nprobe ≪ k achieves the same recall — the dataflow
+    below is identical, only the constant changes; the certificate
+    makes the trade measurable instead of assumed."""
     import math
 
     import numpy as np
@@ -675,26 +872,18 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     n_vec = emb.count()
-    k = max(4, n_vec // 100)
+    k = _quantizer_k(n_vec)
     nprobe = max(1, math.ceil(0.8 * k))
-    cent = _kmeans_centroids(emb, k)
+    cent = _kmeans_centroids(emb, k, n_vec=n_vec)
 
-    def assign(batches, c_mat=cent, p=nprobe):
-        for pdf in batches:
-            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ c_mat.T
-            cid = np.argmax(sims, axis=1)
-            probes = np.argsort(-sims, axis=1)[:, :p]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cid": cid.astype(np.int32),
-                 "probes": [r.astype(np.int32).tolist() for r in probes],
-                 "e": [m.tolist() for m in mat]}
-            )
-
-    assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
-        assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>, e ARRAY<DOUBLE>"
+    e_df = emb.select("vec_id", _as_double("embedding").alias("e"))
+    e_norm = e_df.select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: x / F.sqrt(dot(F.col("e"), F.col("e")))
+        ).alias("e"),
     )
+    assigned = e_norm.join(_centroid_probes(e_df, cent, nprobe), "vec_id")
     # Query role probes its nprobe nearest lists; database role is
     # indexed once under its single nearest centroid. The per-list
     # search is an Arrow GEMM kernel grouped by cid — one (queries ×
@@ -760,9 +949,10 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLD = 0.95
 
 _SEMDEDUP_ORACLE = f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding FROM embeddings
-      WHERE vec_id % {_IVF_STRIDE} = 0
+    WITH p AS ({_STRIDE_CTE}),
+    cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings, p
+      WHERE vec_id % p.stride = 0
     ), assign AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -811,8 +1001,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
+    # stride sizing keeps this collect sublinear and capped: centroids
+    # are ~⌈√n⌉ rows (≤ _QUANT_K_CAP for any n), never O(n).
+    stride = _centroid_stride(emb.count())
     cent_pdf = (
-        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        emb.filter(F.col("vec_id") % stride == 0)
         .orderBy("vec_id")
         .select("vec_id", _as_double("embedding").alias("e"))
         .toPandas()
@@ -906,29 +1099,18 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     n_vec = emb.count()
-    k = max(4, n_vec // 100)
+    k = _quantizer_k(n_vec)
     nprobe = max(1, math.ceil(0.8 * k))
-    cent = _kmeans_centroids(emb, k)
+    cent = _kmeans_centroids(emb, k, n_vec=n_vec)
 
-    def assign(batches, c_mat=cent, p=nprobe):
-        for pdf in batches:
-            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ c_mat.T
-            cid = np.argmax(sims, axis=1)
-            probes = np.argsort(-sims, axis=1)[:, :p]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cid": cid.astype(np.int32),
-                    "probes": [r.astype(np.int32).tolist() for r in probes],
-                    "e": [m.tolist() for m in mat],
-                }
-            )
-
-    assigned = emb.select("vec_id", _as_double("embedding").alias("e")).mapInPandas(
-        assign, "vec_id BIGINT, cid INT, probes ARRAY<INT>, e ARRAY<DOUBLE>"
+    e_df = emb.select("vec_id", _as_double("embedding").alias("e"))
+    e_norm = e_df.select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: x / F.sqrt(dot(F.col("e"), F.col("e")))
+        ).alias("e"),
     )
+    assigned = e_norm.join(_centroid_probes(e_df, cent, nprobe), "vec_id")
     q_side = assigned.select(
         F.explode("probes").alias("cid"), F.lit(1).alias("role"), "vec_id", "e"
     )
