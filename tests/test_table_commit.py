@@ -1,0 +1,124 @@
+"""Batch-MERGE commit protocol (operators/table_commit.py): readers
+must never observe a half-rewritten table. Crash protocol mirrors
+test_streaming.py's mid-epoch kills: the failure is injected at the
+exact point a real crash would land (data staged, manifest not yet
+swapped), then the job re-runs to completion."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.operators import table_commit as tc
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tbl_commit_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def purchases(spark):
+    return (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .cache()
+    )
+
+
+def _split(purchases):
+    base = purchases.filter(F.col("ts") < "2024-01-20")
+    updates = purchases.filter(F.col("ts") >= "2024-01-20")
+    return base, updates
+
+
+def test_crash_mid_merge_preserves_old_version(spark, root, purchases):
+    """Kill the merge between stage and publish: every read through the
+    protocol still returns version 1, bit-for-bit; the retried merge
+    then completes and version 2 becomes visible atomically."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+    v1_rows = sorted(r["event_id"] for r in tc.read_table(spark, root).collect())
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(_version):
+        raise Boom("process died before the manifest swap")
+
+    with pytest.raises(Boom):
+        tc.merge_commit(
+            root, updates, key_cols=["user_id"],
+            order_cols=["ts", "event_id"], before_publish=crash,
+        )
+
+    # the staged v=2 directory exists on disk, but the table is still v1
+    assert os.path.isdir(os.path.join(root, "v=2"))
+    assert tc.current_version(root) == 1
+    after_crash = sorted(
+        r["event_id"] for r in tc.read_table(spark, root).collect()
+    )
+    assert after_crash == v1_rows, "reader saw a half-committed merge"
+
+    # retry (the restarted job): the orphaned staging dir is rewritten
+    v2 = tc.merge_commit(
+        root, updates, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    assert v2 == 2
+    assert tc.current_version(root) == 2
+    merged = tc.read_table(spark, root)
+    # merge contract: one row per key, update rows won on collision
+    assert merged.count() == merged.select("user_id").distinct().count()
+    upd_users = {r["user_id"] for r in updates.select("user_id").distinct().collect()}
+    latest = {
+        r["user_id"]: r["ts"] for r in merged.collect() if r["user_id"] in upd_users
+    }
+    upd_max = {
+        r["user_id"]: r["mx"]
+        for r in updates.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    assert latest == upd_max
+
+
+def test_snapshot_reader_is_isolated_from_commit(spark, root, purchases):
+    """A reader that resolved the manifest before a commit keeps reading
+    the OLD version's files afterward — copy-on-write never mutates a
+    published directory."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+    old_reader = tc.read_table(spark, root)  # pins v1's directory
+    n_before = old_reader.count()
+
+    tc.merge_commit(
+        root, updates, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    assert tc.current_version(root) == 2
+    assert old_reader.count() == n_before, "published version was mutated"
+
+
+def test_time_travel_reads_retained_versions(spark, root, purchases):
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+    tc.merge_commit(
+        root, updates, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    v1 = tc.read_table(spark, root, version=1)
+    v2 = tc.read_table(spark, root, version=2)
+    assert v1.count() == base.count()
+    assert v2.count() == v2.select("user_id").distinct().count()
+
+
+def test_uninitialized_table_raises(spark, root):
+    assert tc.current_version(root) is None
+    with pytest.raises(FileNotFoundError):
+        tc.read_table(spark, root)
