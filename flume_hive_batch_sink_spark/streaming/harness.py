@@ -9,20 +9,20 @@ The reference consumes an unbounded Flume channel; locally we replay the
   with monotonically bumped mtimes + ``maxFilesPerTrigger=1``, so each
   file becomes its own micro-batch in a deterministic sequence — the
   harness for watermark/late-data semantics (SURVEY.md §5.2.3).
+
+Both are thin transport selections over the source seam
+(``streaming/source.py``); every ``stream_*`` key therefore runs
+through the same contract a ``format("kafka")`` deployment would use —
+swap ``SourceConfig.transport`` and nothing downstream changes.
 """
 
 from __future__ import annotations
 
 import atexit
-import os
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from flume_hive_batch_sink_spark.io import load
 
 
 def _tmpdir(prefix: str) -> str:
@@ -40,18 +40,15 @@ EVENTS_SCHEMA = (
 )
 
 
-def _events_as_us_parquet(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Rewrite events with a µs timestamp so the file stream needs no
-    nanos workaround."""
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (single batch under
-    availableNow)."""
-    staged = os.path.join(_tmpdir("stream_src_"), "events")
-    _events_as_us_parquet(spark, sf_dir, staged)
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
+    availableNow). Routed through the transport seam (source.py): the
+    same call sites serve Kafka by swapping SourceConfig.transport."""
+    from flume_hive_batch_sink_spark.streaming import source
+
+    return source.open_events_stream(
+        spark, source.SourceConfig(transport="file", sf_dir=sf_dir)
+    )
 
 
 def replay_chunks(
@@ -65,37 +62,19 @@ def replay_chunks(
     With ``late_chunk=True`` the FIRST chunk (oldest events) is replayed
     LAST — after newer chunks have advanced the watermark — so its rows
     arrive late. File order is pinned via mtime (the file source lists by
-    modification time) and ``maxFilesPerTrigger=1``.
+    modification time) and ``maxFilesPerTrigger=1``. Routed through the
+    transport seam (source.py) like events_stream.
     """
-    ev = load(spark, sf_dir, "events")
-    chunk = F.ntile(n_chunks).over(
-        __import__("pyspark").sql.window.Window.orderBy("ts", "event_id")
-    )
-    with_chunk = ev.withColumn("chunk", chunk)
-    base = _tmpdir("stream_replay_")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
+    from flume_hive_batch_sink_spark.streaming import source
 
-    order = list(range(1, n_chunks + 1))
-    if late_chunk:
-        order = order[1:] + order[:1]  # oldest chunk arrives last
-    now = time.time()
-    pdfs = {
-        c: with_chunk.filter(F.col("chunk") == c).drop("chunk").toPandas()
-        for c in range(1, n_chunks + 1)
-    }
-    for i, c in enumerate(order):
-        path = os.path.join(src, f"chunk_{i:03d}.parquet")
-        pdf = pdfs[c].copy()
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        pdf.to_parquet(path, index=False)
-        os.utime(path, (now + i, now + i))
-
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(src)
+    return source.open_events_stream(
+        spark,
+        source.SourceConfig(
+            transport="file-chunks",
+            sf_dir=sf_dir,
+            n_chunks=n_chunks,
+            late_chunk=late_chunk,
+        ),
     )
 
 
