@@ -368,32 +368,36 @@ _EVENTS_DDL = (
 )
 
 
-def register_catalog_partitions(spark: SparkSession, sf_dir: str) -> str:
-    """The reference's metastore-registration step against Spark's
-    session catalog: write the dt/hr layout, CREATE an external
-    partitioned table over it, then register every partition —
-    half via ``ALTER TABLE … ADD PARTITION`` (the ``add_partition``
-    RPC analogue [R-pub: SURVEY.md §0.1/§3.3]), the rest via
-    ``MSCK REPAIR TABLE`` (the bulk-recovery twin). Returns the table
-    name; from here on the catalog — not directory inference — owns
-    partition discovery and pruning. Driver work is O(#partitions).
+def register_catalog_partitions(
+    spark: SparkSession, sf_dir: str, metastore_cfg=None
+) -> str:
+    """The reference's metastore-registration step through the
+    metastore seam (sources/metastore.py): write the dt/hr layout,
+    CREATE an external partitioned table over it, then register every
+    partition — half via ``ALTER TABLE … ADD PARTITION`` (the
+    ``add_partition`` RPC analogue [R-pub: SURVEY.md §0.1/§3.3]), the
+    rest via ``MSCK REPAIR TABLE`` (the bulk-recovery twin). Returns
+    the qualified table name; from here on the catalog — not directory
+    inference — owns partition discovery and pruning. Driver work is
+    O(#partitions).
 
-    On a real deployment the same statements go to the Hive metastore
-    service; the session catalog is the sandbox stand-in (no metastore
-    service available — SURVEY §3.3)."""
+    ``metastore_cfg`` selects the catalog: the in-process session
+    catalog (sandbox default) or an external HMS URI wired at session
+    build time (metastore.configure_builder) — the DDL issued here is
+    byte-identical either way, which is the whole point of the seam."""
     import hashlib
 
+    from flume_hive_batch_sink_spark.sources import metastore as ms
     from flume_hive_batch_sink_spark.streaming.harness import _tmpdir
 
+    cfg = metastore_cfg or ms.MetastoreConfig()
     ev = with_partition_keys(load(spark, sf_dir, "events"))
     out = os.path.join(_tmpdir("catalog_tbl_"), "events_tbl")
     hive_partitioned_write_path(ev, out)
 
     tbl = "evcat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    spark.sql(
-        f"CREATE TABLE {tbl} ({_EVENTS_DDL}, dt STRING, hr BIGINT) "
-        f"USING parquet PARTITIONED BY (dt, hr) LOCATION '{out}'"
+    name = ms.create_external_partitioned_table(
+        spark, cfg, tbl, _EVENTS_DDL, "dt STRING, hr BIGINT", out
     )
 
     parts = []
@@ -402,18 +406,15 @@ def register_catalog_partitions(spark: SparkSession, sf_dir: str) -> str:
             continue
         for h in sorted(os.listdir(os.path.join(out, d))):
             if h.startswith("hr="):
-                parts.append((d.split("=", 1)[1], h.split("=", 1)[1]))
+                parts.append(
+                    {"dt": d.split("=", 1)[1], "hr": int(h.split("=", 1)[1])}
+                )
     # incremental registration for the first half (one batched ALTER —
     # one catalog round-trip, the per-epoch path a streaming sink takes)
-    half = parts[: len(parts) // 2]
-    if half:
-        clauses = " ".join(
-            f"PARTITION (dt='{dt}', hr={hr})" for dt, hr in half
-        )
-        spark.sql(f"ALTER TABLE {tbl} ADD IF NOT EXISTS {clauses}")
+    ms.add_partitions(spark, cfg, tbl, parts[: len(parts) // 2])
     # bulk recovery for everything else (restart / backfill path)
-    spark.sql(f"MSCK REPAIR TABLE {tbl}")
-    return tbl
+    ms.repair_partitions(spark, cfg, tbl)
+    return name
 
 
 @query(

@@ -78,3 +78,67 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="orc_roundtrip_"), "events_orc")
     ev.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Probe for the spark-avro DataSource module.
+
+    Probe result on this machine (2026-08-14, recorded per SURVEY §0's
+    provenance policy): **absent**. PySpark 4.1.2 ships only Avro's
+    core libraries (avro/avro-ipc/avro-mapred 1.12.1 jars — internal
+    Spark dependencies), not the external ``spark-avro_2.13``
+    DataSource module; there is no network to fetch it and no Python
+    avro/fastavro fallback installed. A deployment adds
+    ``--packages org.apache.spark:spark-avro_2.13:<spark version>``
+    and ``scan_avro_roundtrip`` below runs unchanged — the probe gates
+    it instead of hard-failing the registry.
+    """
+    import glob
+
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-avro*")
+    )
+    if jars:
+        return True
+    try:
+        spark.read.format("avro").load("/nonexistent_avro_probe")
+        return True
+    except Exception as exc:
+        return "Failed to find data source" not in str(exc)
+
+
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize events to Avro, rescan — the Flume-era wire format
+    (Avro was THE event-serialization format of that stack). Connector-
+    gated: raises with deployment instructions where spark-avro is
+    absent (this sandbox — see avro_available); registered as a query
+    key only when the module exists, so the driver contract never
+    carries a key that cannot run here."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro DataSource module not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        )
+    ev = _events_projection(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="avro_roundtrip_"), "events_avro")
+    ev.write.mode("overwrite").format("avro").save(out)
+    return spark.read.format("avro").load(out)
+
+
+def _maybe_register_avro() -> None:
+    """Register scan_avro_roundtrip as a driver key iff the connector
+    exists — checked WITHOUT a SparkSession (jar listing only), so
+    import stays side-effect-free."""
+    import glob
+
+    import pyspark
+
+    if glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-avro*")
+    ):
+        query("scan_avro_roundtrip", oracle=_PROJECTED)(scan_avro_roundtrip)
+
+
+_maybe_register_avro()

@@ -1,0 +1,130 @@
+"""Metastore seam: one partition-registration code path, two catalogs.
+
+The reference registers completed partitions with a Hive Metastore
+service over Thrift (HiveMetaStoreClient.add_partition — SURVEY.md
+§0.1). Spark reaches the same service through its Hive catalog
+implementation, and — crucially — the DDL the registration path issues
+(CREATE EXTERNAL TABLE / ALTER TABLE ADD PARTITION / MSCK REPAIR) is
+IDENTICAL whether the catalog is the in-process session catalog or an
+external HMS. This module makes that a config choice instead of two
+code paths:
+
+- ``mode="session"`` (sandbox default): the in-process catalog — what
+  every test and the driver runs. No external service needed.
+- ``mode="hms"``: the deployment wiring — ``enableHiveSupport()`` plus
+  ``hive.metastore.uris`` pointing at the Thrift endpoint. Catalog
+  choice is session-construction-time state in Spark, so this mode is
+  applied by ``configure_builder`` when the session is built; the
+  registration DDL downstream is byte-identical.
+
+No HMS service ships in-sandbox, so the hms mode is covered by
+asserting the builder wiring (tests/test_metastore_seam.py) while the
+shared DDL path runs for real against the session catalog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class MetastoreConfig:
+    mode: str = "session"  # "session" (in-process) | "hms" (external Thrift)
+    hms_uri: str | None = None  # thrift://host:9083, required for hms mode
+    database: str = "default"
+    warehouse_dir: str | None = None
+
+
+def configure_builder(builder, cfg: MetastoreConfig):
+    """Apply the catalog choice to a SparkSession.Builder — the only
+    point where session and hms modes differ."""
+    if cfg.warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", cfg.warehouse_dir)
+    if cfg.mode == "session":
+        return builder
+    if cfg.mode == "hms":
+        if not cfg.hms_uri:
+            raise ValueError("hms mode requires hms_uri (thrift://host:port)")
+        return (
+            builder.config("hive.metastore.uris", cfg.hms_uri)
+            .config(
+                "spark.sql.catalogImplementation", "hive"
+            )
+            .enableHiveSupport()
+        )
+    raise ValueError(f"unknown metastore mode: {cfg.mode!r}")
+
+
+def qualified(cfg: MetastoreConfig, table: str) -> str:
+    return f"{cfg.database}.{table}"
+
+
+def ensure_database(spark: SparkSession, cfg: MetastoreConfig) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {cfg.database}")
+
+
+def create_external_partitioned_table(
+    spark: SparkSession,
+    cfg: MetastoreConfig,
+    table: str,
+    columns_ddl: str,
+    partition_ddl: str,
+    location: str,
+) -> str:
+    """CREATE the external table in the configured catalog. Same
+    statement against the session catalog or an HMS-backed one."""
+    ensure_database(spark, cfg)
+    name = qualified(cfg, table)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({columns_ddl}, {partition_ddl}) "
+        f"USING parquet PARTITIONED BY "
+        f"({', '.join(p.split()[0] for p in partition_ddl.split(', '))}) "
+        f"LOCATION '{location}'"
+    )
+    return name
+
+
+def add_partitions(
+    spark: SparkSession,
+    cfg: MetastoreConfig,
+    table: str,
+    parts: list[dict],
+) -> None:
+    """The add_partition RPC analogue: ONE batched ALTER statement per
+    call (one catalog round-trip no matter how many partitions — the
+    per-epoch path a streaming sink takes)."""
+    if not parts:
+        return
+    clauses = " ".join(
+        "PARTITION ("
+        + ", ".join(
+            f"{k}='{v}'" if isinstance(v, str) else f"{k}={v}"
+            for k, v in p.items()
+        )
+        + ")"
+        for p in parts
+    )
+    spark.sql(
+        f"ALTER TABLE {qualified(cfg, table)} ADD IF NOT EXISTS {clauses}"
+    )
+
+
+def repair_partitions(
+    spark: SparkSession, cfg: MetastoreConfig, table: str
+) -> None:
+    """Bulk partition recovery (MSCK) — the restart/backfill path."""
+    spark.sql(f"MSCK REPAIR TABLE {qualified(cfg, table)}")
+
+
+__all__ = [
+    "MetastoreConfig",
+    "add_partitions",
+    "configure_builder",
+    "create_external_partitioned_table",
+    "ensure_database",
+    "qualified",
+    "repair_partitions",
+]

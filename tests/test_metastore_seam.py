@@ -1,0 +1,81 @@
+"""Metastore seam (sources/metastore.py): the partition-registration
+DDL path is one code path; the catalog behind it is a config choice.
+In-sandbox the session catalog runs for real; the external-HMS mode is
+covered by asserting the session-builder wiring (no HMS service here).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession, functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.operators.ingest import (
+    register_catalog_partitions,
+)
+from flume_hive_batch_sink_spark.sources import metastore as ms
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registration_in_nondefault_database(spark):
+    """Config-switched registration: the same code path lands the table
+    in the configured database, and partition-pruned reads through the
+    catalog see every registered partition."""
+    cfg = ms.MetastoreConfig(mode="session", database="ms_seam_db")
+    name = register_catalog_partitions(spark, SF, metastore_cfg=cfg)
+    assert name.startswith("ms_seam_db.")
+    assert spark.catalog.tableExists(name)
+    n_cat = spark.table(name).count()
+    assert n_cat == load(spark, SF, "events").count()
+    # the catalog owns partition discovery: every dt/hr is visible
+    n_parts = spark.sql(f"SHOW PARTITIONS {name}").count()
+    dt_hr = (
+        load(spark, SF, "events")
+        .select(
+            F.date_format("ts", "yyyyMMdd").alias("dt"),
+            F.hour("ts").alias("hr"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_parts == dt_hr
+
+
+def test_default_config_matches_legacy_path(spark):
+    cfg = ms.MetastoreConfig()
+    assert cfg.mode == "session" and cfg.database == "default"
+    name = register_catalog_partitions(spark, SF)
+    assert name.startswith("default.")
+    assert spark.table(name).count() == load(spark, SF, "events").count()
+
+
+def test_hms_mode_wires_builder():
+    """hms mode sets the Thrift URI + hive catalog on the builder — the
+    only point where the deployment differs from the sandbox."""
+    b = SparkSession.builder.appName("hms_probe")
+    wired = ms.configure_builder(
+        b, ms.MetastoreConfig(mode="hms", hms_uri="thrift://hms.prod:9083")
+    )
+    opts = wired._options
+    assert opts["hive.metastore.uris"] == "thrift://hms.prod:9083"
+    assert opts["spark.sql.catalogImplementation"] == "hive"
+
+
+def test_hms_mode_requires_uri():
+    with pytest.raises(ValueError, match="hms_uri"):
+        ms.configure_builder(
+            SparkSession.builder, ms.MetastoreConfig(mode="hms")
+        )
+
+
+def test_unknown_mode_rejected():
+    with pytest.raises(ValueError, match="unknown metastore mode"):
+        ms.configure_builder(
+            SparkSession.builder, ms.MetastoreConfig(mode="zookeeper")
+        )
+
+
+def test_session_mode_leaves_builder_untouched():
+    b = SparkSession.builder.appName("plain")
+    assert ms.configure_builder(b, ms.MetastoreConfig()) is b

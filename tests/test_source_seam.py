@@ -113,3 +113,21 @@ def test_stream_keys_route_through_seam(spark, monkeypatch):
     c = harness.replay_chunks(spark, SF, n_chunks=2)
     assert c.isStreaming
     assert calls == ["file", "file-chunks"]
+
+
+def test_avro_probe_gates_roundtrip(spark):
+    """Avro support is connector-gated: where spark-avro is present the
+    roundtrip must work; where absent (this sandbox — PySpark ships only
+    Avro core jars) it must raise the deployment instruction instead of
+    an opaque failure, and the registry must not carry the key."""
+    from flume_hive_batch_sink_spark.registry import QUERIES
+    from flume_hive_batch_sink_spark.sources import formats
+
+    if formats.avro_available(spark):
+        out = formats.scan_avro_roundtrip(spark, SF)
+        assert out.count() == load(spark, SF, "events").count()
+        assert "scan_avro_roundtrip" in QUERIES
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            formats.scan_avro_roundtrip(spark, SF)
+        assert "scan_avro_roundtrip" not in QUERIES
