@@ -78,6 +78,15 @@ def run_spark_bench(sf_dir: str) -> dict:
         f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
     ) / (1 << 20)
     parts = max(8, min(2048, int(input_mb / 32)))
+    # Never under-parallelize a big input: the 32 MB/partition rule gave
+    # 21 partitions at sf1 — FEWER tasks than cores, so the window
+    # stage's critical path was whichever skewed task a scheduler hiccup
+    # landed on (topk_window rel_spread 1.65 in r5; see SCALE.md
+    # round-6 note). 2 tasks/core restores slack; small inputs (sf0.1
+    # bench) keep their low counts.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if input_mb >= 256:
+        parts = max(parts, 2 * cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     # AQE is a runtime re-planner: it materializes every shuffle stage
     # before choosing the next plan, which costs ~0.1 s/query at bench
@@ -140,6 +149,60 @@ def run_spark_bench(sf_dir: str) -> dict:
     }
 
 
+# Dedup family timed at sf1rv (the realistic-vocabulary fixture — the
+# regime LSH banding targets; the driver fixture's 31-word vocabulary
+# makes the TRUE near-dup graph quadratic by construction, see
+# SCALE.md). (key, reps): the cheap keys get median-of-3, the CC key
+# one measured run — it is minutes-scale evidence, not a microbenchmark.
+DEDUP_SCALE = (
+    ("llm_exact_dedup", 3),
+    ("llm_simhash_dedup", 3),
+    ("llm_fingerprint", 3),
+    ("llm_near_dedup_minhash", 3),
+    ("llm_jaccard_dedup", 3),
+    ("llm_dup_clusters_star", 1),
+)
+
+
+def run_dedup_bench(sf_dir: str) -> dict:
+    """Spark-side timings for the dedup family at ``sf_dir`` (sf1rv).
+
+    Each rep times plan build + execution together (fn() + count()):
+    the dedup/CC keys do real work EAGERLY during construction
+    (iterative driver loops, localCheckpoints), so timing only a
+    post-build count() would credit them ~0 s. count() still executes
+    the full distributed plan; only the pair payload does not ride to
+    the driver — at 50k docs the verified pair set is output a
+    downstream job consumes distributed, so dragging it through Arrow
+    would time the driver NIC, not the operator. ``first_sec`` is the
+    cold end-to-end number; ``sec`` the median across reps (warm block-
+    index cache — the build-once/query-many split every vector/dedup
+    system makes, see block_pairs). Oracle parity for these keys at
+    sf1rv is check_parity.py business (artifacts/
+    sf1rv_dedup_parity.log); this section is the per-round wall-clock
+    evidence folded into the one --sf1 artifact."""
+    load_all_operators()
+    spark = get_spark("bench_dedup")
+    io.load_all(spark, sf_dir)
+    out: dict[str, dict] = {}
+    for key, reps in DEDUP_SCALE:
+        fn = registry.QUERIES[key]
+        samples = []
+        n_rows = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n_rows = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        out[key] = {
+            "sec": round(statistics.median(samples), 4),
+            "first_sec": round(samples[0], 4),
+            "rows": n_rows,
+            "n": reps,
+        }
+    return {"sf_dir": sf_dir, "keys": out,
+            "total_sec": round(sum(v["sec"] for v in out.values()), 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     print(json.dumps(run_spark_bench(sf_dir)))
@@ -151,7 +214,11 @@ def main_sf1() -> None:
     gitignored), run the Spark headline protocol AND the DuckDB twin on
     the SAME parquet, and print one JSON line with both plus per-query
     ratios. The DuckDB side takes ~80 s — its all-pairs cosine goes
-    quadratic at sf1, which is exactly the scale story being recorded."""
+    quadratic at sf1, which is exactly the scale story being recorded.
+    Round 6 folds the dedup family in (VERDICT r5 item 2): the sf1rv
+    fixture (realistic vocabulary) is generated if absent and the
+    dedup keys' wall-clock rides in the same artifact under
+    ``dedup_sf1rv`` — no more bespoke side logs."""
     sys.path.insert(0, str(REPO / "scripts"))
     sys.path.insert(0, str(REPO / "tests"))
     sf_dir = REPO / "testdata" / "sf1"
@@ -164,7 +231,18 @@ def main_sf1() -> None:
         with contextlib.redirect_stdout(sys.stderr):  # keep stdout = one JSON line
             gen_sf.gen(1.0, sf_dir)
 
+    sf1rv_dir = REPO / "testdata" / "sf1rv"
+    if not (sf1rv_dir / "documents.parquet").exists():
+        import contextlib
+
+        import gen_docs_realvocab
+
+        print(f"generating sf1rv fixture -> {sf1rv_dir}", file=sys.stderr, flush=True)
+        with contextlib.redirect_stdout(sys.stderr):
+            gen_docs_realvocab.gen(sf_dir, sf1rv_dir)
+
     spark_res = run_spark_bench(str(sf_dir))
+    dedup_res = run_dedup_bench(str(sf1rv_dir))
     import bench_duckdb
 
     # reps=3 on the DuckDB side: its sf1 cosine is ~80 s/run (the
@@ -189,6 +267,7 @@ def main_sf1() -> None:
                 "spark_over_duckdb_median": ratios,
                 "spark_total": spark_res["value"],
                 "duckdb_median_total": duck_res["median_total"],
+                "dedup_sf1rv": dedup_res,
             }
         )
     )

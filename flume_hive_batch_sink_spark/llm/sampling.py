@@ -395,6 +395,12 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         excluded.add(int(pick.vec_id))
         mind_df = upd.select("vec_id", "e", "mind")
+        # truncate the driver-loop lineage every few rounds (the
+        # graph_kcore convention): at k=8 the chained plan is fine, but
+        # a larger k would otherwise stack k analysis/optimization
+        # passes and re-execute the whole chain per argmax.
+        if r % 4 == 0:
+            mind_df = mind_df.localCheckpoint(eager=True)
     e.unpersist()
     return spark.createDataFrame(
         chosen, "r INT, vec_id BIGINT, sel_dist DOUBLE"

@@ -158,6 +158,30 @@ def merge_commit(
     return version
 
 
+def vacuum(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed-or-older version
+    directories, never touching the current one or anything newer than
+    it (an in-flight stage). Returns the removed version numbers. The
+    retention window IS the snapshot-isolation guarantee for lagging
+    readers — size it to the longest reader you allow, exactly like a
+    table format's retention policy."""
+    import re
+    import shutil
+
+    cur = current_version(root)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    droppable = [v for v in versions if v <= cur - keep]
+    for v in droppable:
+        shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+    return droppable
+
+
 __all__ = [
     "commit_version",
     "current_version",
@@ -165,4 +189,5 @@ __all__ = [
     "publish_version",
     "read_table",
     "stage_version",
+    "vacuum",
 ]

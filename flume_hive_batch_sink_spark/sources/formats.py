@@ -142,3 +142,37 @@ def _maybe_register_avro() -> None:
 
 
 _maybe_register_avro()
+
+
+@query(
+    "scan_kafka_wire_roundtrip",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def scan_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka transport's serializer contract, driver-checked: events
+    are encoded exactly as they would ride a Kafka topic (JSON payload
+    in a binary value column, wire metadata alongside — the fixed
+    schema Spark's kafka relation emits) and decoded by the SAME
+    ``decode_kafka_events`` the streaming seam uses
+    (streaming/source.py). Losslessness at full µs timestamp precision
+    is what makes the file-replay results transferable to a Kafka
+    deployment: the transport changes, the rows do not. Batch twin of
+    an un-deployable integration test (no broker in-sandbox) — the
+    transformation under test is identical batch vs stream."""
+    from flume_hive_batch_sink_spark.streaming import source
+
+    ev = load(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+        {"timestampFormat": source.KAFKA_TS_FORMAT},
+    )
+    wire = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.pmod("event_id", F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    return source.decode_kafka_events(wire)

@@ -35,6 +35,10 @@ LANG_P = [0.40, 0.15, 0.15, 0.15, 0.15]
 def main() -> None:
     base = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("testdata/sf1")
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("testdata/sf1rv")
+    gen(base, out)
+
+
+def gen(base: Path, out: Path) -> None:
     out.mkdir(parents=True, exist_ok=True)
     n_docs = pq.read_metadata(base / "documents.parquet").num_rows
 

@@ -122,3 +122,19 @@ def test_uninitialized_table_raises(spark, root):
     assert tc.current_version(root) is None
     with pytest.raises(FileNotFoundError):
         tc.read_table(spark, root)
+
+
+def test_vacuum_retains_current_and_window(spark, root, purchases):
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)  # v1
+    tc.merge_commit(root, updates, key_cols=["user_id"],
+                    order_cols=["ts", "event_id"])  # v2
+    tc.commit_version(tc.read_table(spark, root), root)  # v3
+    dropped = tc.vacuum(root, keep=2)
+    assert dropped == [1]
+    assert tc.current_version(root) == 3
+    assert tc.read_table(spark, root, version=2).count() > 0
+    with pytest.raises(Exception):
+        tc.read_table(spark, root, version=1).count()
+    # re-vacuum with the same window is a no-op
+    assert tc.vacuum(root, keep=2) == []
