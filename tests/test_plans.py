@@ -548,3 +548,53 @@ def test_attribution_band_join_stays_equi(spark):
     the ts_asof_tolerance plan family."""
     p = plan(registry.QUERIES["pipeline_attribution_touch"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kafka_wire_roundtrip_is_map_only(spark):
+    """The Kafka serializer roundtrip (encode → decode) must be pure
+    per-row work fused over the scan: zero Exchange — the transport
+    decode adds no shuffle at any scale."""
+    df = registry.QUERIES["scan_kafka_wire_roundtrip"](spark, SF_DIR)
+    p = plan(df)
+    assert "Exchange" not in p
+
+
+def test_ann_ivf_broadcast_centroids_hash_join_lists(spark):
+    """llm_ann_ivf's sublinear-quantizer plan: centroid assignment is a
+    BROADCAST fan-out (the O(√n)-capped centroid list must never
+    shuffle the fact side), and the inverted-list candidate join on cid
+    is a real equi join — no CartesianProduct anywhere."""
+    df = registry.QUERIES["llm_ann_ivf"](spark, SF_DIR)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p  # centroid side rides a broadcast exchange
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p  # cid equi join
+
+
+def test_centroid_probes_join_shuffles_scalars_not_arrays(spark):
+    """The over-budget assignment path (_centroid_probes_join): the
+    candidate rows that cross the post-kernel shuffle are three scalar
+    columns (vec_id, cid, sim) — never embedding arrays."""
+    import numpy as np
+
+    from flume_hive_batch_sink_spark.llm import similarity as S
+
+    emb = load(spark, SF_DIR, "embeddings")
+    e_df = emb.select("vec_id", S._as_double("embedding").alias("e"))
+    cent_pdf = e_df.limit(8).toPandas()
+    cent = np.array(cent_pdf["e"].tolist(), dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in r]) for i, r in enumerate(cent)],
+        "cid INT, ce ARRAY<DOUBLE>",
+    )
+    probes = S._centroid_probes_join(e_df, cent_df, 3)
+    p = plan(probes)
+    # the window merge shuffles (vec_id, cid, sim) — the kernel output
+    # schema — not the array-carrying block rows
+    window_shuffle = [
+        seg for seg in p.split("Exchange") if "hashpartitioning(vec_id" in seg
+    ]
+    assert window_shuffle, "expected the per-vector merge exchange"
+    assert all("ARRAY" not in seg.split("Window")[0][:400].upper()
+               or "e#" not in seg[:200] for seg in window_shuffle)

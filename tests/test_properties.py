@@ -404,3 +404,93 @@ def test_bloom_has_no_false_negatives(spark):
         .filter(F.col("nb") == 3)
     )
     assert hits.count() == build.count()
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),   # key
+                st.integers(min_value=0, max_value=99),  # payload
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    crash_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+@SETTINGS
+def test_merge_commit_linearizes_despite_crashes(spark, batches, crash_mask):
+    """Commit-protocol property (operators/table_commit.py): for ANY
+    sequence of merge batches with ANY subset crashing mid-commit (after
+    stage, before publish), the committed state always equals the
+    in-Python model replay of exactly the batches that PUBLISHED —
+    crashed attempts are invisible, retries idempotent, and the version
+    number counts publishes, not attempts."""
+    import shutil
+    import tempfile
+
+    from flume_hive_batch_sink_spark.operators import table_commit as tc
+
+    root = tempfile.mkdtemp(prefix="tc_prop_")
+    try:
+        # ts doubles as the last-writer-wins ordering value: later
+        # batches get strictly larger ts, so updates always win; within
+        # a batch the highest ts wins (ts values are unique per batch).
+        base = [(k, v, i) for i, (k, v) in enumerate(batches[0])]
+        df0 = spark.createDataFrame(
+            base, "key INT, val INT, ts BIGINT"
+        )
+        # base commit applies the same one-row-per-key merge rule
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("key").orderBy(F.col("ts").desc())
+        df0_merged = (
+            df0.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tc.commit_version(df0_merged, root)
+        model: dict[int, int] = {}
+        for k, v, _t in sorted(base, key=lambda r: r[2]):
+            model[k] = v
+
+        class Boom(RuntimeError):
+            pass
+
+        for i, batch in enumerate(batches[1:]):
+            seq = i + 1
+            rows = [
+                (k, v, seq * 100 + j) for j, (k, v) in enumerate(batch)
+            ]
+            upd = spark.createDataFrame(
+                rows, "key INT, val INT, ts BIGINT"
+            )
+            crash = crash_mask[i % len(crash_mask)]
+            if crash:
+                def boom(_v):
+                    raise Boom()
+
+                try:
+                    tc.merge_commit(
+                        root, upd, key_cols=["key"], order_cols=["ts"],
+                        before_publish=boom,
+                    )
+                except Boom:
+                    pass  # crashed attempt: model unchanged
+            else:
+                tc.merge_commit(
+                    root, upd, key_cols=["key"], order_cols=["ts"]
+                )
+                for k, v, t in sorted(rows, key=lambda r: r[2]):
+                    model[k] = v  # updates win; later ts wins in-batch
+
+            got = {
+                r["key"]: r["val"]
+                for r in tc.read_table(spark, root).collect()
+            }
+            assert got == model, (got, model, crash)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
