@@ -56,19 +56,21 @@ def minhash_bands(tok_arr: DataFrame) -> DataFrame:
     whole stage is PURE map-side: scan → project → posexplode, zero
     Exchange — asserted by tests/test_plans.py (the property that makes
     signatures free at 100 TB: they ride along the initial scan)."""
+    # NB: the seed must be bound via closure, NOT a defaulted second
+    # lambda parameter — PySpark treats ANY two-parameter lambda in
+    # transform() as (element, index) and passes the array-index Column
+    # into the second slot, silently clobbering the default (the seed
+    # then stringifies as the Column's repr). tests/test_llm.py pins
+    # the literal-seeded family against hand-computed values.
+    def _minhash(i: int) -> F.Column:
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(F.col("toks"), lambda t: F.xxhash64(F.concat(prefix, t)))
+        )
+
     sig = tok_arr.select(
         "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("toks"),
-                    lambda t, i=i: F.xxhash64(
-                        F.concat_ws(":", F.lit(str(i)), t)
-                    ),
-                )
-            ).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ],
+        *[_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)],
     )
     key_arr = F.array(
         *[
@@ -711,4 +713,123 @@ def llm_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long_id",
         F.col("short_len").cast("long").alias("short_len"),
         F.col("long_len").cast("long").alias("long_len"),
+    )
+
+
+_EST_K = 16       # estimator signature length (16 portable md5 minima)
+_EST_MIN_J = 0.3  # calibrate on pairs with true Jaccard >= this
+
+_MINHASH_EST_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), n AS (
+      SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), true_j AS (
+      SELECT doc_a, doc_b,
+             CAST(ni AS DOUBLE) / (na.nt + nb.nt - ni) AS j
+      FROM inter
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE CAST(ni AS DOUBLE) / (na.nt + nb.nt - ni) >= {_EST_MIN_J}
+    ), sig AS (
+      SELECT doc_id, k,
+             min(md5(CAST(k AS VARCHAR) || ':' || token)) AS h
+      FROM tok, range({_EST_K}) t(k)
+      GROUP BY doc_id, k
+    ), est AS (
+      SELECT p.doc_a, p.doc_b, p.j,
+             SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)
+               / CAST({_EST_K} AS DOUBLE) AS est
+      FROM true_j p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b AND sb.k = sa.k
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard, est,
+           ROUND(ABS(est - j), 6) AS abs_err
+    FROM est
+"""
+
+
+@query("llm_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the measurement that justifies
+    every banding threshold upstream: P[sig position matches] = J
+    exactly, so the matching-position fraction of a K-hash signature
+    estimates Jaccard with std sqrt(J(1-J)/K). This key computes, for
+    every pair with true J >= 0.3, the 16-position estimate alongside
+    exact Jaccard and the absolute error — per-pair, hash-compared, no
+    certificate softening. Tuning the LSH family (llm_near_dedup_minhash's
+    16 bands x 2 rows) against MEASURED estimator error instead of the
+    asymptotic formula is how a production dedup pipeline picks its
+    operating point.
+
+    Portability: signatures are per-position minima of md5(k || ':' ||
+    token) compared AS STRINGS — MinHash only needs a total order on
+    hash values, and lexicographic order over identical md5 hex digests
+    is engine-identical, so the oracle replays every signature position
+    exactly (the sketch_bloom_prejoin convention, extended to string
+    keys). Spark shape: signatures are array_min/transform codegen over
+    the per-doc token array (map-side, zero shuffle); the estimate is a
+    zip_with equality fold over the two 16-element signature arrays —
+    candidate pairs never explode into (pair x K) rows. At 100 TB the
+    pair set comes from the LSH candidate generator, making this a
+    sampling-free audit that rides the existing dedup dataflow.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok_arr = token_arrays(docs)
+
+    # seed bound via closure — see _minhash in llm_near_dedup_minhash
+    # for why a defaulted second lambda parameter silently breaks
+    def _est_sig(k: int) -> F.Column:
+        prefix = F.lit(f"{k}:")
+        return F.array_min(
+            F.transform(F.col("toks"), lambda t: F.md5(F.concat(prefix, t)))
+        )
+
+    sig = tok_arr.select(
+        "doc_id",
+        F.array(*[_est_sig(k) for k in range(_EST_K)]).alias("sig"),
+    )
+
+    hashed = tok_arr.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("toks")
+    )
+    pa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    pb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    true_j = (
+        pa.join(pb, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "j",
+            F.col("ni").cast("double")
+            / (F.size("ta") + F.size("tb") - F.col("ni")),
+        )
+        .filter(F.col("j") >= _EST_MIN_J)
+        .select("doc_a", "doc_b", "j")
+    )
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    est = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    ).cast("double") / _EST_K
+    return (
+        true_j.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est", est)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("j", 6).alias("jaccard"),
+            "est",
+            F.round(F.abs(F.col("est") - F.col("j")), 6).alias("abs_err"),
+        )
     )

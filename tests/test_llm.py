@@ -297,3 +297,45 @@ def test_block_index_cache_bounded_and_unpersists(spark):
 
     cache.clear()
     assert len(cache) == 0
+
+
+def test_minhash_family_is_literal_seeded(spark):
+    """Pin the signature hash families to their documented literal-seed
+    definitions. Guards the PySpark transform() arity trap: a lambda
+    with a defaulted second parameter is silently treated as
+    (element, index) — the seed becomes the index Column's repr, a
+    session-counter-dependent accident instead of the stated family
+    (found and fixed in round 6; the md5 estimator family is replayed
+    here in pure Python, byte for byte)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flume_hive_batch_sink_spark.llm import dedup as D
+    from flume_hive_batch_sink_spark.io import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").filter("doc_id = 0")
+    toks = docs.select(
+        F.array_distinct(F.split("text", " ")).alias("t")
+    ).collect()[0]["t"]
+
+    # the estimator's md5 family: h_k = min over tokens of md5("k:tok")
+    tok_arr = D.token_arrays(docs)
+    got = tok_arr.select(
+        F.array_min(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.md5(F.concat(F.lit("3:"), t)),
+            )
+        ).alias("h3")
+    ).collect()[0]["h3"]
+    want = min(hashlib.md5(f"3:{t}".encode()).hexdigest() for t in toks)
+    assert got == want
+
+    # the banding family must be invocation-stable: two builds in one
+    # session yield identical band keys (the repr-seeded accident was
+    # counter-dependent and failed exactly this)
+    b1 = sorted(map(tuple, D.minhash_bands(tok_arr).collect()))
+    b2 = sorted(map(tuple, D.minhash_bands(tok_arr).collect()))
+    assert b1 == b2

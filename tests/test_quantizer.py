@@ -134,3 +134,22 @@ class TestKmeansDriverBoundedness:
         assert cent.shape[0] < n // 10
         norms = np.linalg.norm(cent, axis=1)
         assert np.allclose(norms, 1.0)
+
+
+class TestJoinPathEndToEnd:
+    def test_ivf_kmeans_certificate_holds_on_join_path(self, spark, monkeypatch):
+        """Force the whole llm_ann_ivf_kmeans operator (training loop +
+        search assignment) through the blocked-GEMM join path: the
+        recall certificate must hold exactly as on the closure path —
+        the dispatch is invisible to the operator's contract."""
+        monkeypatch.setattr(S, "_ASSIGN_CLOSURE_DOUBLES", 0)
+        row = S.llm_ann_ivf_kmeans(spark, SF).collect()[0]
+        assert row["recall_ok"], "join-path IVF lost the recall contract"
+        assert row["n_queries"] > 0
+
+    def test_semdedup_kmeans_certificate_holds_on_join_path(
+        self, spark, monkeypatch
+    ):
+        monkeypatch.setattr(S, "_ASSIGN_CLOSURE_DOUBLES", 0)
+        row = S.llm_semdedup_kmeans(spark, SF).collect()[0]
+        assert row["precision_ok"] and row["recall_ok"]
