@@ -1160,3 +1160,96 @@ def etl_merge_commit_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "etl_multi_table_commit",
+    oracle="""
+    WITH cut1 AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'
+    ), f1 AS (
+      SELECT event_id, user_id, value FROM cut1
+      WHERE event_type = 'purchase'
+    ), d1 AS (
+      SELECT user_id FROM cut1 GROUP BY user_id
+    ), f2 AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), d2 AS (
+      SELECT user_id FROM events GROUP BY user_id
+    )
+    SELECT 1 AS tx,
+           (SELECT CAST(count(*) AS BIGINT) FROM f1) AS fact_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM d1) AS dim_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM f1
+            WHERE user_id NOT IN (SELECT user_id FROM d1)) AS orphan_facts,
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) FROM f1) AS sum_value
+    UNION ALL
+    SELECT 2,
+           (SELECT CAST(count(*) AS BIGINT) FROM f2),
+           (SELECT CAST(count(*) AS BIGINT) FROM d2),
+           (SELECT CAST(count(*) AS BIGINT) FROM f2
+            WHERE user_id NOT IN (SELECT user_id FROM d2)),
+           (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) FROM f2)
+    """,
+)
+def etl_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table snapshot commit (table_commit.commit_snapshot):
+    a purchase fact table and its user dimension are committed TOGETHER
+    — both staged, then ONE manifest rename publishes the pair — so a
+    reader pinning the manifest once joins fact and dim at the same tx
+    and never sees orphaned foreign keys from a mixed-version read (the
+    failure a per-table overwrite permits when a job dies between the
+    fact write and the dim write). Two transactions here: the Jan-20
+    cut, then the full history; the certified invariant is
+    orphan_facts = 0 at BOTH snapshots through the pinned-manifest read
+    path. tests/test_table_commit.py additionally crashes between the
+    two table writes and shows both tables stay at the old tx. Same
+    100 TB shape as the single-table protocol: O(changed data) writes,
+    O(1) atomic metadata swap covering the whole join graph."""
+    import shutil
+    import tempfile
+
+    from flume_hive_batch_sink_spark.operators import table_commit as tc
+
+    ev = load(spark, sf_dir, "events")
+
+    def tables(cut):
+        fact = cut.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+        dim = cut.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"), F.count("*").alias("n_events")
+        )
+        return {"fact_purchases": fact, "dim_users": dim}
+
+    root = tempfile.mkdtemp(prefix="multi_commit_")
+    try:
+        tc.commit_snapshot(tables(ev.filter(F.col("ts") < "2024-01-20")), root)
+        manifests = [tc.current_tx(root)]
+        tc.commit_snapshot(tables(ev), root)
+        manifests.append(tc.current_tx(root))
+
+        out = []
+        for m in manifests:
+            fact = tc.read_snapshot(spark, root, "fact_purchases", tx=m)
+            dim = tc.read_snapshot(spark, root, "dim_users", tx=m)
+            orphans = fact.join(
+                dim.select("user_id"), "user_id", "left_anti"
+            ).count()
+            r = fact.agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("s"),
+            ).collect()[0]
+            out.append((m["tx"], r["n"], dim.count(), orphans, r["s"]))
+        return spark.createDataFrame(
+            out,
+            "tx INT, fact_rows BIGINT, dim_rows BIGINT, "
+            "orphan_facts BIGINT, sum_value DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -158,6 +158,90 @@ def merge_commit(
     return version
 
 
+# ---------------------------------------------------------------------------
+# Multi-table snapshots: one atomic swap across N tables
+# ---------------------------------------------------------------------------
+#
+# A pipeline rarely rewrites one table in isolation — a fact and its
+# dimensions must flip TOGETHER or a reader joins fact@new against
+# dim@old and sees orphans that exist in neither committed state. The
+# snapshot layout nests per-table version dirs under one root and
+# publishes ONE manifest naming every table's version: the same
+# os.replace atomicity now covers the whole join graph.
+
+_SNAP_MANIFEST = "_current_tx"
+
+
+def current_tx(root: str) -> dict | None:
+    """The committed snapshot manifest {tx, tables: {name: version}},
+    or None for an uninitialized snapshot root."""
+    try:
+        with open(os.path.join(root, _SNAP_MANIFEST), encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def stage_snapshot(dfs: dict[str, DataFrame], root: str) -> dict:
+    """Write every table's next version dir without publishing any.
+    Versions advance per-table from the committed manifest."""
+    os.makedirs(root, exist_ok=True)
+    cur = current_tx(root) or {"tx": 0, "tables": {}}
+    staged = {"tx": cur["tx"] + 1, "tables": {}}
+    for name, df in dfs.items():
+        version = cur["tables"].get(name, 0) + 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, name, f"v={version}")
+        )
+        staged["tables"][name] = version
+    return staged
+
+
+def publish_snapshot(root: str, staged: dict) -> None:
+    """Atomically publish a staged snapshot: one os.replace covers every
+    table — readers see all tables at the old tx or all at the new,
+    never a mix."""
+    import time as _time
+
+    staged = dict(staged, committed_at=_time.time())
+    fd, tmp = tempfile.mkstemp(prefix="_tx_", dir=root)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(staged, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, _SNAP_MANIFEST))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def commit_snapshot(
+    dfs: dict[str, DataFrame], root: str, before_publish=None
+) -> int:
+    """stage + publish for a table set; ``before_publish`` is the
+    crash-injection seam (called with the staged manifest)."""
+    staged = stage_snapshot(dfs, root)
+    if before_publish is not None:
+        before_publish(staged)
+    publish_snapshot(root, staged)
+    return staged["tx"]
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, table: str, tx: dict | None = None
+) -> DataFrame:
+    """Read ``table`` at the committed snapshot (or a caller-pinned
+    manifest — resolve current_tx ONCE and pass it in when several
+    tables must be read at the same tx; re-resolving per table would
+    reintroduce the mixed-version race this module exists to kill)."""
+    manifest = tx if tx is not None else current_tx(root)
+    if manifest is None or table not in manifest["tables"]:
+        raise FileNotFoundError(f"no committed version of {table} at {root}")
+    version = manifest["tables"][table]
+    return spark.read.parquet(os.path.join(root, table, f"v={version}"))
+
+
 def vacuum(root: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` committed-or-older version
     directories, never touching the current one or anything newer than
@@ -183,11 +267,16 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
 
 
 __all__ = [
+    "commit_snapshot",
     "commit_version",
+    "current_tx",
     "current_version",
     "merge_commit",
+    "publish_snapshot",
     "publish_version",
+    "read_snapshot",
     "read_table",
+    "stage_snapshot",
     "stage_version",
     "vacuum",
 ]

@@ -138,3 +138,66 @@ def test_vacuum_retains_current_and_window(spark, root, purchases):
         tc.read_table(spark, root, version=1).count()
     # re-vacuum with the same window is a no-op
     assert tc.vacuum(root, keep=2) == []
+
+
+def test_multi_table_crash_keeps_join_graph_consistent(spark, root, purchases):
+    """Crash AFTER both tables staged, BEFORE the snapshot publish:
+    every table must still read at the old tx — the atomicity is
+    cross-table, which a per-table protocol cannot give. Also prove the
+    race the snapshot kills: manually mixing fact@tx2 with dim@tx1
+    yields orphaned foreign keys, while any pinned manifest yields
+    none."""
+    base, updates = _split(purchases)
+
+    def tabs(df):
+        fact = df.select("event_id", "user_id", "value")
+        dim = df.groupBy("user_id").agg(F.count("*").alias("n"))
+        return {"fact": fact, "dim": dim}
+
+    tc.commit_snapshot(tabs(base), root)
+    m1 = tc.current_tx(root)
+    assert m1["tx"] == 1
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(staged):
+        # both tables' v=2 dirs are fully on disk at this point
+        assert os.path.isdir(os.path.join(root, "fact", "v=2"))
+        assert os.path.isdir(os.path.join(root, "dim", "v=2"))
+        raise Boom()
+
+    full = base.unionByName(updates)
+    with pytest.raises(Boom):
+        tc.commit_snapshot(tabs(full), root, before_publish=crash)
+
+    # the whole join graph still reads at tx 1
+    m = tc.current_tx(root)
+    assert m["tx"] == 1 and m["tables"] == m1["tables"]
+    fact1 = tc.read_snapshot(spark, root, "fact", tx=m)
+    dim1 = tc.read_snapshot(spark, root, "dim", tx=m)
+    assert fact1.count() == base.count()
+    assert fact1.join(dim1.select("user_id"), "user_id", "left_anti").count() == 0
+
+    # retry commits; pinned reads stay orphan-free at both txs
+    tc.commit_snapshot(tabs(full), root)
+    m2 = tc.current_tx(root)
+    assert m2["tx"] == 2
+    fact2 = tc.read_snapshot(spark, root, "fact", tx=m2)
+    dim2 = tc.read_snapshot(spark, root, "dim", tx=m2)
+    assert fact2.count() == full.count()
+    assert fact2.join(dim2.select("user_id"), "user_id", "left_anti").count() == 0
+
+    # the mixed-version read the manifest forbids WOULD produce orphans
+    # (users that only appear in the update batch are missing from dim@1)
+    mixed_orphans = fact2.join(
+        dim1.select("user_id"), "user_id", "left_anti"
+    ).count()
+    new_users = (
+        updates.select("user_id")
+        .distinct()
+        .join(base.select("user_id").distinct(), "user_id", "left_anti")
+        .count()
+    )
+    if new_users:
+        assert mixed_orphans > 0, "fixture lost its new-user tail"
