@@ -653,3 +653,77 @@ def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ny / F.sqrt(nt), 6).alias("root_ttr"),
         F.round(F.log(ny) / F.log(nt), 6).alias("herdan_c"),
     )
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            j -> md5(t[j] || ' ' || t[j+1] || ' ' || t[j+2]))
+               AS hs
+      FROM toks WHERE len(t) >= 3
+    ),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(1, len(hs) - 2),
+                                     j -> list_min(hs[j:j+3])))
+                  ELSE [list_min(hs)] END AS fps
+      FROM h
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM ex GROUP BY fp HAVING count(*) >= 2
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03) — the local fingerprinting scheme behind MOSS: hash
+    every k-gram (k=3 tokens), slide a window of w=4 consecutive
+    hashes, and keep each window's minimum. Winnowing GUARANTEES any
+    shared run of >= w+k-1 tokens between two documents shares at
+    least one selected fingerprint — the recall property a single
+    global-min fingerprint (llm_fingerprint) lacks. Emitted here as
+    the plagiarism/boilerplate signal: fingerprints selected by >= 2
+    documents, with doc counts.
+
+    Plan shape: the k-gram hash array, the sliding-window min, and the
+    per-doc distinct all happen INSIDE the row as array expressions —
+    no per-shingle row explosion until the final (already winnowed,
+    ~2/w density) fingerprint set, so the exploded relation is a
+    fraction of the token count. One explode + one hash-agg with
+    map-side combine; no joins, no windows. Short docs (fewer than w
+    windows) degrade to their single minimum hash, per the paper's
+    boundary rule. Deterministic: md5 on both engines, tie handling
+    irrelevant because selection is by VALUE (distinct min set), not
+    position."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "j -> md5(concat_ws(' ', t[j-1], t[j], t[j+1])))"
+            ).alias("hs"),
+        )
+    )
+    fps = F.expr(
+        "CASE WHEN size(hs) >= 4 THEN "
+        "array_distinct(transform(sequence(1, size(hs) - 3), "
+        "j -> array_min(slice(hs, j, 4)))) "
+        "ELSE array(array_min(hs)) END"
+    )
+    ex = h.select("doc_id", F.explode(fps).alias("fp"))
+    return (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1253,3 +1253,69 @@ def etl_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM digits),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits
+      GROUP BY digit
+    )
+    SELECT o.digit, o.n_obs,
+           CAST(ROUND(o.n_obs / (SELECT n FROM nn), 6) AS DOUBLE)
+             AS observed_frac,
+           CAST(ROUND(log10(1.0 + 1.0 / o.digit), 6) AS DOUBLE)
+             AS benford_frac,
+           CAST(ROUND(ABS(o.n_obs / (SELECT n FROM nn)
+                          - log10(1.0 + 1.0 / o.digit)), 6) AS DOUBLE)
+             AS abs_dev
+    FROM obs o
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over l_extendedprice — the
+    fraud/synthetic-data screen a DQ suite runs on monetary columns:
+    the leading significant digit of naturally occurring amounts
+    should follow P(d) = log10(1 + 1/d); a flat or spiked
+    distribution flags fabricated values.
+
+    The digit is extracted ARITHMETICALLY, not via float log10:
+    amounts are cent-valued doubles, so round(x*100) is an exact
+    integer, and the first character of its decimal rendering is the
+    leading digit — immune to the floor(log10(10^k)) last-ulp trap
+    that flips a digit at exact powers of ten, and bit-identical
+    across engines. Plan: one narrow projection, one 9-key hash
+    aggregation with map-side combine, scalar total broadcast back —
+    a single scan at any scale. Expected fractions are constants
+    folded by Catalyst."""
+    li = load(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = float(digits.count())
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.lit(n), 6).alias("observed_frac"),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(F.abs(F.col("n_obs") / F.lit(n) - benford), 6).alias(
+            "abs_dev"
+        ),
+    )

@@ -549,3 +549,195 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_points"),
         )
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT dt, n_events,
+             CASE WHEN count(*) OVER w = 7
+                  THEN AVG(n_events) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT dt, n_events, trend,
+             dayofweek(dt) AS dow,
+             n_events - trend AS detrended
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, AVG(detrended) AS seasonal FROM det
+      WHERE detrended IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(d.dt, '%Y-%m-%d') AS dt, d.n_events,
+           CAST(d.dow AS BIGINT) AS dow,
+           CAST(ROUND(d.trend, 6) AS DOUBLE) AS trend,
+           CAST(ROUND(s.seasonal, 6) AS DOUBLE) AS seasonal,
+           CAST(ROUND(d.detrended - s.seasonal, 6) AS DOUBLE) AS residual
+    FROM det d LEFT JOIN seas s ON d.dow = s.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count: trend = centered 7-day moving average (full windows only —
+    edges stay NULL rather than biased), seasonal = mean detrended
+    value per day-of-week, residual = what's left. The moving-average
+    + seasonal-means construction is the textbook first stage of STL
+    (Cleveland et al. 1990) without the loess refinement.
+
+    Scale posture: decomposition runs on the AGGREGATED daily grain —
+    the window sees #days rows regardless of raw event volume, so the
+    unpartitioned window is a constant-size tail on one scan + one
+    map-side-combined aggregation. A per-series variant partitions
+    every window and the seasonal mean by the series key and keeps the
+    same shape. Day-of-week is normalized to DuckDB's 0=Sunday
+    convention (Spark's dayofweek is 1-based). Trend stays exact in
+    both engines (integer counts summed in doubles below 2^53);
+    rounding is applied only to emitted values."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", "ts").cast("date").alias("dt"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("dt").rowsBetween(-3, 3)
+    tr = daily.select(
+        "dt",
+        "n_events",
+        F.when(F.count("*").over(w) == 7, F.avg("n_events").over(w)).alias(
+            "trend"
+        ),
+    )
+    det = tr.select(
+        "dt",
+        "n_events",
+        "trend",
+        (F.dayofweek("dt") - 1).cast("long").alias("dow"),
+        (F.col("n_events") - F.col("trend")).alias("detrended"),
+    )
+    seas = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("detrended").alias("seasonal"))
+    )
+    return det.join(F.broadcast(seas), "dow", "left").select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "n_events",
+        "dow",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+    )
+
+
+@query(
+    "ts_peak_concurrency",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS gap
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM s GROUP BY user_id, session_id
+    ), seg AS (
+      SELECT user_id, session_id, day,
+             greatest(s_start, day) AS seg_start,
+             least(s_end, day + INTERVAL 1 DAY) AS seg_end
+      FROM sess, UNNEST(generate_series(date_trunc('day', s_start),
+                                        date_trunc('day', s_end),
+                                        INTERVAL 1 DAY)) AS t(day)
+    ), deltas AS (
+      SELECT day, seg_start AS ts, 1 AS delta FROM seg
+      UNION ALL
+      SELECT day, seg_end, -1 FROM seg
+    ), run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS dt,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_segments
+    FROM run GROUP BY day
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line trick: each
+    session interval (30-min idle-gap sessionization, same recurrence
+    as idle_sessionize) emits +1 at its start and -1 at its end; the
+    running sum of deltas in time order is the instantaneous
+    concurrency, and its per-day max is the capacity-planning number.
+
+    This is the O(n log n) answer to a question naively posed as an
+    O(n^2) interval self-join ("how many sessions overlap each
+    other") — no join at all, one window. Sessions spanning midnight
+    are split into per-day segments (explode over the day sequence;
+    the clamp puts a +1 at the day boundary, so carry-in concurrency
+    is counted without a cross-partition running state). Ordering
+    +1 before -1 at equal timestamps gives closed-interval semantics;
+    the per-day max is invariant to tie order WITHIN an instant
+    because all starts apply before any end. Scale: everything keys
+    by (user) then (day) — bounded state per task, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(
+        uw
+    )
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+                uw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    seg = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", "s_start"),
+                F.date_trunc("DAY", "s_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "s_start",
+        "s_end",
+    ).select(
+        "day",
+        F.greatest("s_start", F.col("day")).alias("seg_start"),
+        F.least("s_end", F.col("day") + F.expr("INTERVAL 1 DAY")).alias(
+            "seg_end"
+        ),
+    )
+    deltas = seg.select(
+        "day", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("day", F.col("seg_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    dw = Window.partitionBy("day").orderBy(
+        F.col("ts"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = deltas.select("day", F.sum("delta").over(dw).alias("running"))
+    return run.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.max("running").cast("long").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_segments"),
+    )

@@ -1166,3 +1166,202 @@ def pipeline_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("path", "n_sessions", "rk")
     )
+
+
+@query(
+    "pipeline_market_basket",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n
+                 FROM lineitem),
+    brand_supp AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob
+      GROUP BY p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           CAST(ROUND(p.n_both / (SELECT n FROM n_orders), 6) AS DOUBLE)
+             AS support,
+           CAST(ROUND((p.n_both * (SELECT n FROM n_orders))
+                      / (sa.n_brand * CAST(sb.n_brand AS DOUBLE)), 6)
+                AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN brand_supp sa ON p.brand_a = sa.p_brand
+    JOIN brand_supp sb ON p.brand_b = sb.p_brand
+    WHERE p.n_both >= 20
+    """,
+)
+def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: support and lift for every brand pair
+    co-purchased in one order (the frequent-itemset k=2 core of the
+    A-Priori family — Agrawal & Srikant, VLDB'94).
+
+    Plan shape: lineitem joins the broadcast part dim to tag each line
+    with its brand, collapses to DISTINCT (order, brand) — the basket
+    relation — then self-joins keyed on l_orderkey. The fan-out per
+    join key is the basket's distinct-brand count (<= 25 brands, p99 =
+    8 in the fixture), so the pair stage is O(orders x basket^2), NOT
+    O(n^2): the classic per-basket pair generation that survives any
+    order count. Pair counts aggregate with map-side combine onto at
+    most C(25,2) = 300 group keys; brand marginals broadcast back for
+    the lift ratio. A 100 TB deployment bounds the fan-out the same
+    way — baskets are small no matter how many there are; only a
+    degenerate mega-basket would need a per-basket item cap first.
+    min-support floor (n_both >= 20) prunes noise pairs exactly like
+    A-Priori's support threshold. Round-then-compare on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = float(li.select("l_orderkey").distinct().count())
+    a = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (a.k == b.k2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    supp = ob.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    sa = supp.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    sb = supp.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(n_orders), 6).alias("support"),
+            F.round(
+                (F.col("n_both") * F.lit(n_orders))
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "pipeline_rfm",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             1 + CAST(FLOOR(4.0 * (ROW_NUMBER() OVER (
+                   ORDER BY recency_days ASC, o_custkey) - 1)
+                 / (SELECT n FROM nn)) AS BIGINT) AS r_score,
+             1 + CAST(FLOOR(4.0 * (ROW_NUMBER() OVER (
+                   ORDER BY frequency DESC, o_custkey) - 1)
+                 / (SELECT n FROM nn)) AS BIGINT) AS f_score,
+             1 + CAST(FLOOR(4.0 * (ROW_NUMBER() OVER (
+                   ORDER BY monetary DESC, o_custkey) - 1)
+                 / (SELECT n FROM nn)) AS BIGINT) AS m_score
+      FROM m
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
+    FROM scored
+    """,
+)
+def pipeline_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM scoring composite. Each customer gets quartile
+    scores 1-4 per dimension (1 = best: most recent, most frequent,
+    highest spend) and a 3-digit cell id.
+
+    Quartiles use the explicit rank formula `1 + floor(4*(rn-1)/n)`
+    with a custkey tiebreak instead of NTILE so the bucketing is a
+    DEFINED function of the data (NTILE's remainder distribution is
+    engine-convention); both engines replay it bit-identically. Plan
+    shape: one groupBy(o_custkey) aggregation (map-side partial) over
+    orders, then three global row_number windows over the AGGREGATED
+    relation — |customers|, not |orders|. The fixture's global sort is
+    the same trade documented for win_ntile: at 100 TB the scale path
+    is approx_percentile cut points + bucketing (win_ntile_approx,
+    WindowExec-free), which this key's formula was chosen to make a
+    drop-in swap. The global max(o_orderdate) anchor is a scalar
+    broadcast, not a driver loop."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    # The global anchor joins in as a broadcast 1-row aggregate, NOT a
+    # collected Python datetime: a driver-side datetime round-trips
+    # through the Python process timezone (collect → fromtimestamp →
+    # lit → mktime) and shifts the date under a non-UTC process TZ —
+    # caught by the hostile-TZ driver simulation.
+    mx = orders.agg(F.max("o_orderdate").alias("anchor"))
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("cmax"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "cmax").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n = m.count()
+
+    def _score(order_cols) -> F.Column:
+        rn = F.row_number().over(Window.orderBy(*order_cols))
+        return (
+            1 + F.floor(F.lit(4.0) * (rn - 1) / F.lit(n))
+        ).cast("long")
+
+    scored = m.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score([F.col("recency_days").asc(), F.col("o_custkey")]).alias(
+            "r_score"
+        ),
+        _score([F.col("frequency").desc(), F.col("o_custkey")]).alias(
+            "f_score"
+        ),
+        _score([F.col("monetary").desc(), F.col("o_custkey")]).alias(
+            "m_score"
+        ),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
