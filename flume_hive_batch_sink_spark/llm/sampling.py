@@ -405,3 +405,142 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "r INT, vec_id BIGINT, sel_dist DOUBLE"
     )
+
+
+@query(
+    "sample_ab_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab-exp-1:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users FROM assigned
+      GROUP BY variant
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS DOUBLE) AS t FROM counts),
+    scored AS (
+      SELECT variant, n_users,
+             (SELECT t FROM tot) / 2 AS expected_n,
+             POW(n_users - (SELECT t FROM tot) / 2, 2)
+               / ((SELECT t FROM tot) / 2) AS chi2_part
+      FROM counts
+    )
+    SELECT variant, n_users,
+           CAST(ROUND(expected_n, 2) AS DOUBLE) AS expected_n,
+           CAST(ROUND(chi2_part, 6) AS DOUBLE) AS chi2_part,
+           CAST(ROUND(SUM(chi2_part) OVER (), 6) AS DOUBLE) AS chi2_total,
+           SUM(chi2_part) OVER () > 3.841 AS srm_flag
+    FROM scored
+    """,
+)
+def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment assignment with a sample-ratio-
+    mismatch (SRM) health check: each user hashes into variant A or B
+    by the first hex nibble of a salted md5 (the content-addressed
+    idiom of split_train_test — stable under repartitioning, re-runs,
+    and backfills), then the observed split is tested against the
+    designed 50/50 with a 1-df chi-square; chi2 > 3.841 (p < .05)
+    flags the broken randomization that silently invalidates an
+    experiment.
+
+    Plan: distinct users (one hash-agg), a 2-key count, and a 2-row
+    window for the total — the chi-square machinery runs on the
+    VARIANT grain, so the test costs nothing beyond the distinct no
+    matter how many users. Salt in the hash keys the experiment, so
+    concurrent experiments get independent assignments."""
+    ev = load(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab-exp-1:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    counts = assigned.groupBy("variant").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy()
+    t = F.sum("n_users").over(w).cast("double")
+    exp_n = t / 2
+    chi2_part = F.pow(F.col("n_users") - exp_n, 2) / exp_n
+    scored = counts.select(
+        "variant",
+        "n_users",
+        F.round(exp_n, 2).alias("expected_n"),
+        chi2_part.alias("chi2_raw"),
+    )
+    chi2_total = F.sum("chi2_raw").over(w)
+    return scored.select(
+        "variant",
+        "n_users",
+        "expected_n",
+        F.round("chi2_raw", 6).alias("chi2_part"),
+        F.round(chi2_total, 6).alias("chi2_total"),
+        (chi2_total > 3.841).alias("srm_flag"),
+    )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    cap AS (SELECT MIN(n) AS c FROM counts),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('balance:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= (SELECT c FROM cap)
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents — the equal-frequency counterpart to
+    sample_stratified's proportional sampling, the standard rebalance
+    before training a classifier on skewed labels.
+
+    Selection is content-addressed (salted md5 of doc_id, doc_id
+    tiebreak), so membership is a pure function of the data — stable
+    under repartitioning and incremental reruns. Plan: one 5-key
+    count, the min cap as a broadcast 1-row aggregate (never
+    collected), and one row_number window PARTITIONED by class —
+    per-class sorted state, no global sort. At 100 TB the same shape
+    holds because the window key is the class; if one class is itself
+    huge, the rank-then-filter can swap for a per-class threshold on
+    the hash value (quantile of md5 space) to avoid ranking rows that
+    cannot survive the cap."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    cap = counts.agg(F.min("n").alias("c"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("balance:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(cap)).filter(
+        F.col("rk") <= F.col("c")
+    ).select("doc_id", "lang", "rk")

@@ -1319,3 +1319,61 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_dev"
         ),
     )
+
+
+@query(
+    "etl_backfill_planner",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr_ts
+      FROM span
+    ),
+    observed AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hr_ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT strftime(g.hr_ts, '%Y-%m-%d') AS dt,
+           CAST(hour(g.hr_ts) AS BIGINT) AS hr
+    FROM grid g LEFT JOIN observed o ON g.hr_ts = o.hr_ts
+    WHERE o.hr_ts IS NULL
+    """,
+)
+def etl_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner — the operational query behind every
+    partition-repair job: which (dt, hr) partitions SHOULD exist for
+    the 'purchase' feed (the full hourly calendar spanned by the
+    event stream) but have no data? The reference world's equivalent
+    is diffing HDFS partition dirs against the DONE-marker calendar;
+    here the expected set is generated, not listed.
+
+    Plan: the calendar grid comes from a 1-row global-bounds
+    aggregate expanded with ``sequence`` (same never-collected idiom
+    as ts_gapfill_ffill) — #hours rows regardless of event volume;
+    observed hours are one distinct on the FILTERED feed (predicate
+    pushed to the scan); the missing set is a left-anti join of grid
+    against observed, broadcast because a calendar is always tiny.
+    Output is the work list a backfill orchestrator enqueues."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr_ts")
+    )
+    observed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("HOUR", "ts").alias("hr_ts"))
+        .distinct()
+    )
+    return grid.join(observed, "hr_ts", "left_anti").select(
+        F.date_format("hr_ts", "yyyy-MM-dd").alias("dt"),
+        F.hour("hr_ts").cast("long").alias("hr"),
+    )

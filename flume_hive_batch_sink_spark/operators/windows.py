@@ -522,3 +522,52 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(med, 6).alias("med5"),
     )
+
+
+@query(
+    "win_wow_change",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n, sum_value,
+           lag(n) OVER w AS prev_n,
+           CAST(ROUND((n - lag(n) OVER w)
+                      / CAST(lag(n) OVER w AS DOUBLE), 6) AS DOUBLE)
+             AS wow_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    """,
+)
+def win_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the KPI-dashboard
+    staple: weekly counts and value sums, previous week via lag, and
+    the relative change (NULL on the first week rather than a fake
+    zero). Both engines truncate weeks to Monday (ISO).
+
+    Plan: the window runs on the AGGREGATED (type, week) grain —
+    #types x #weeks rows — after one map-side-combined aggregation of
+    the raw stream, so the lag's sort is trivially bounded at any raw
+    volume; partitioning by event_type keeps state per task."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("WEEK", "ts").alias("wk")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        "sum_value",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / prev.cast("double"), 6).alias(
+            "wow_change"
+        ),
+    )
