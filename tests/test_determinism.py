@@ -125,6 +125,15 @@ RISKY = [
     "agg_argmax_minmax_by",
     "etl_partition_manifest_checksum",
     "agg_share_of_total",
+    # round-6 additions: hash-based assignment/selection, rank
+    # tie-breaks, window minima over tie-prone hash arrays
+    "sample_ab_assignment",
+    "sample_balanced_classes",
+    "llm_winnowing_fingerprint",
+    "pipeline_rfm",
+    "pipeline_market_basket",
+    "graph_common_neighbors",
+    "ts_peak_concurrency",
 ]
 
 

@@ -598,3 +598,61 @@ def test_centroid_probes_join_shuffles_scalars_not_arrays(spark):
     assert window_shuffle, "expected the per-vector merge exchange"
     assert all("ARRAY" not in seg.split("Window")[0][:400].upper()
                or "e#" not in seg[:200] for seg in window_shuffle)
+
+
+# ---------------------------------------------------------------- round 6
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "pipeline_market_basket",
+        "graph_common_neighbors",
+        "pipeline_rfm",
+        "etl_backfill_planner",
+    ],
+)
+def test_r6_composites_no_cartesian(spark, key):
+    """The round-6 pair-generation and calendar keys join on real keys
+    (basket id / customer id / unit-literal broadcast): no plan may
+    degenerate to CartesianProduct, and the single-row broadcasts
+    (cap, anchor, span) must stay broadcast."""
+    p = plan(registry.QUERIES[key](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+
+
+def test_market_basket_dim_broadcast(spark):
+    """The part dim tag-join must be a BroadcastHashJoin — the fact
+    side never shuffles on p_partkey."""
+    p = plan(registry.QUERIES["pipeline_market_basket"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_backfill_planner_anti_broadcast(spark):
+    """The calendar anti-join must broadcast (a calendar is tiny at any
+    scale); the observed-feed filter must push into the scan."""
+    p = plan(registry.QUERIES["etl_backfill_planner"](spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in p or (
+        "LeftAnti" in p and "BroadcastHashJoin" in p
+    )
+    pushed = p.split("PushedFilters")
+    assert any("event_type" in seg.split("\n")[0] for seg in pushed[1:])
+
+
+def test_winnowing_single_explode_post_winnow(spark):
+    """Winnowing must explode the SELECTED fingerprints only — one
+    Generate node over the already-winnowed distinct array, never a
+    per-shingle explosion feeding a second stage. Formatted mode
+    prints each node twice (tree line + detail block), so one Generate
+    node == exactly two mentions."""
+    p = plan(registry.QUERIES["llm_winnowing_fingerprint"](spark, SF_DIR))
+    assert p.count("Generate") == 2
+
+
+def test_seasonal_window_on_day_grain(spark):
+    """ts_seasonal_decompose's moving-average window must consume the
+    aggregated day grain: exactly one pre-window aggregation of raw
+    events, and the seasonal join stays broadcast."""
+    p = plan(registry.QUERIES["ts_seasonal_decompose"](spark, SF_DIR))
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
