@@ -727,3 +727,62 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "llm_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+      WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 200)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(ROUND(regr_slope(ln(n), ln(rk)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(regr_intercept(ln(n), ln(rk)), 4) AS DOUBLE)
+             AS zipf_intercept,
+           CAST(ROUND(regr_r2(ln(n), ln(rk)), 4) AS DOUBLE) AS r2
+    FROM top
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency against log-rank for the top 200 terms. Natural text
+    sits near slope −1 with high R²; a corpus whose slope collapses
+    toward 0 (flat frequencies) or whose R² craters is machine-
+    generated, template-spammed, or wrongly tokenized — a one-row
+    corpus-health certificate for a training-data pipeline.
+
+    Plan: explode + hash-agg builds term frequencies (map-side
+    combine), the top-200 selection is a bounded global top-k
+    (TakeOrderedAndProject via row_number-then-filter on the
+    aggregated vocabulary), and the regression is a single aggregate
+    over 200 rows — regr_slope/intercept/r2 are one-pass co-moment
+    aggregates on BOTH engines. Rank ties break on the token string so
+    the fitted set is identical everywhere."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    top = freq.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 200
+    )
+    ln_n, ln_rk = F.log(F.col("n")), F.log(F.col("rk"))
+    return top.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_rk), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_rk), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_rk), 4).alias("r2"),
+    )

@@ -1377,3 +1377,52 @@ def etl_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hr_ts", "yyyy-MM-dd").alias("dt"),
         F.hour("hr_ts").cast("long").alias("hr"),
     )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS global_max FROM events),
+    per_type AS (
+      SELECT event_type, MAX(ts) AS type_max,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           (epoch_us((SELECT global_max FROM anchor))
+            - epoch_us(type_max)) // 1000000 AS lag_seconds,
+           (epoch_us((SELECT global_max FROM anchor))
+            - epoch_us(type_max)) // 1000000 > 3600 AS stale_flag
+    FROM per_type
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: how far behind the most recent event is
+    each event type's latest arrival? The lag that pages an on-call
+    when one upstream feed silently stops while the others keep
+    flowing. The anchor is the GLOBAL max timestamp, not wall-clock
+    now() — deterministic, replayable, and exactly what a backfill
+    validation wants (wall-clock freshness is the streaming side's
+    job; stream_watermark covers it).
+
+    Plan: one map-side-combined aggregation per type plus a 1-row
+    global aggregate broadcast back in (never collected — the
+    timezone-safe idiom); threshold evaluation is a constant-folded
+    comparison. The lag floors the MICROSECOND difference (unix_micros
+    / epoch_us, integer div) rather than differencing per-timestamp
+    second truncations — truncate-then-subtract is off by one when the
+    sub-second parts straddle (caught by the oracle)."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("type_max"), F.count("*").alias("n_events")
+    )
+    lag_s = F.expr(
+        "(unix_micros(global_max) - unix_micros(type_max)) div 1000000"
+    )
+    return per_type.join(F.broadcast(anchor)).select(
+        "event_type",
+        "n_events",
+        lag_s.alias("lag_seconds"),
+        (lag_s > 3600).alias("stale_flag"),
+    )

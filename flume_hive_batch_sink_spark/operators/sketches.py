@@ -324,3 +324,82 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_inter.alias("exact_intersection"),
         (F.abs(est_inter - exact_inter) <= tol).alias("within_bound"),
     )
+
+
+# KMV (K-Minimum-Values) estimator size. With k = 64 the standard
+# error is ~1/sqrt(k-2) ≈ 12.7%; the certificate below reports the
+# realized error against the exact count.
+_KMV_K = 64
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv FROM events
+    ),
+    mins AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    kth AS (
+      SELECT MAX(CAST(concat('0x', substr(hv, 1, 15)) AS BIGINT))
+               / POW(16.0, 15) AS kf,
+             CAST(count(*) AS BIGINT) AS k_used
+      FROM mins
+    ),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+    SELECT k_used,
+           CAST(ROUND(kf, 9) AS DOUBLE) AS kth_frac,
+           CAST(ROUND(({_KMV_K} - 1) / kf, 2) AS DOUBLE) AS est_distinct,
+           (SELECT n_exact FROM exact) AS exact_distinct,
+           CAST(ROUND(ABS(({_KMV_K} - 1) / kf
+                          - (SELECT n_exact FROM exact))
+                      / (SELECT n_exact FROM exact), 4) AS DOUBLE)
+             AS rel_error
+    FROM kth
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct estimator (Bar-Yossef et al. 2002, the
+    theta-sketch primitive): keep the k = 64 smallest hash values of
+    the key; if the k-th smallest lands at fraction f of the hash
+    space, the domain holds ≈ (k-1)/f distinct keys. Unlike HLL
+    (sketch_hll_merge), KMV supports set INTERSECTION natively — the
+    min-set of a union is computable from per-partition min-sets, which
+    is why theta sketches took over warehouse distinct-counting.
+
+    Engine-portable determinism: the "hash" is md5 hex, ORDERED AS A
+    STRING (fixed-length hex ⇒ lexicographic = numeric), so both
+    engines select identical min-sets; only the single k-th value is
+    converted to a numeric fraction (first 15 nibbles < 2^60). Plan:
+    distinct (one hash-agg) then a global k-smallest, which compiles to
+    TakeOrderedAndProject — per-partition top-k, merged at k rows, no
+    global sort. The exact count rides the same scan for the
+    certificate; a production rollup keeps only the k-row min-set per
+    partition and merges."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    mins = h.orderBy("hv").limit(_KMV_K)
+    kth = mins.agg(
+        (
+            F.max(F.conv(F.substring("hv", 1, 15), 16, 10).cast("long"))
+            / F.pow(F.lit(16.0), 15)
+        ).alias("kf"),
+        F.count("*").alias("k_used"),
+    )
+    exact = h.agg(F.count("*").alias("exact_distinct"))
+    est = (F.lit(_KMV_K) - 1) / F.col("kf")
+    return (
+        kth.join(F.broadcast(exact))
+        .select(
+            "k_used",
+            F.round("kf", 9).alias("kth_frac"),
+            F.round(est, 2).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )

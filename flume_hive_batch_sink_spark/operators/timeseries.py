@@ -741,3 +741,59 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("running").cast("long").alias("peak_concurrent"),
         (F.count("*") / 2).cast("long").alias("n_segments"),
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS dt, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+             lag(n, 7) OVER w AS l7
+      FROM daily WINDOW w AS (ORDER BY dt)
+    )
+    SELECT CAST(1 AS BIGINT) AS lag,
+           CAST(ROUND(corr(n, l1), 6) AS DOUBLE) AS acf FROM l
+    UNION ALL SELECT 2, CAST(ROUND(corr(n, l2), 6) AS DOUBLE) FROM l
+    UNION ALL SELECT 3, CAST(ROUND(corr(n, l3), 6) AS DOUBLE) FROM l
+    UNION ALL SELECT 4, CAST(ROUND(corr(n, l4), 6) AS DOUBLE) FROM l
+    UNION ALL SELECT 5, CAST(ROUND(corr(n, l5), 6) AS DOUBLE) FROM l
+    UNION ALL SELECT 6, CAST(ROUND(corr(n, l6), 6) AS DOUBLE) FROM l
+    UNION ALL SELECT 7, CAST(ROUND(corr(n, l7), 6) AS DOUBLE) FROM l
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event count at lags 1–7 —
+    the seasonality detector that justifies ts_seasonal_decompose's
+    weekly period: a spike at lag 7 says the series repeats weekly.
+    Computed as Pearson correlation of the series against its lagged
+    self (the pairwise-complete estimator; lag rows off the edge are
+    NULL and corr skips them on both engines).
+
+    Plan: ONE pass builds all 7 lag columns from one window over the
+    aggregated day grain, one aggregate computes all 7 correlations,
+    and `stack` reshapes the 1-row result to long form — no per-lag
+    self-joins, no repeated scans; raw volume only affects the first
+    map-side-combined aggregation."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", "ts").alias("dt"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("dt")
+    lagged = daily.select(
+        "n", *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    one = lagged.agg(
+        *[F.round(F.corr("n", f"l{k}"), 6).alias(f"c{k}") for k in range(1, 8)]
+    )
+    stack_args = ", ".join(f"CAST({k} AS BIGINT), c{k}" for k in range(1, 8))
+    return one.select(
+        F.expr(f"stack(7, {stack_args}) AS (lag, acf)")
+    )
