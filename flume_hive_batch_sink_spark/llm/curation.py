@@ -536,3 +536,95 @@ def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "llm_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 3),
+                    j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' '
+                         || t[j+3] || ' ' || t[j+4])) AS gram
+      FROM toks WHERE len(t) >= 5
+    ),
+    denom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams
+      GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT c.src_a, c.src_b, c.n_common, d.n_grams AS n_grams_a,
+           CAST(ROUND(c.n_common / CAST(d.n_grams AS DOUBLE), 6) AS DOUBLE)
+             AS containment
+    FROM common c JOIN denom d ON c.src_a = d.source
+    WHERE c.n_common >= 5
+    """,
+)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for each ordered source pair
+    (A, B), what fraction of A's distinct 5-gram shingles also occur
+    in B? The corpus-level generalization of llm_decontaminate's
+    benchmark check — the report that catches one crawl source
+    mirroring another (or a test split leaking into a train source)
+    before both are "independently" sampled into a training mix.
+
+    Plan shape: shingles build IN-ROW as array expressions, explode
+    once, and collapse to DISTINCT (source, gram) — the matrix join
+    then runs on the deduplicated gram relation keyed by the GRAM, so
+    fan-out per key is the number of sources containing that gram
+    (<= |sources|, NOT document count); pair counts aggregate onto the
+    |sources|^2 key space and the per-source denominators broadcast
+    back. At 100 TB add the same document-frequency cap
+    llm_jaccard_dedup applies (drop universal boilerplate grams,
+    which carry no discriminative signal and all the skew); the floor
+    n_common >= 5 keeps the report to meaningful overlap."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        d.select("source", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4), "
+                    "j -> concat_ws(' ', t[j-1], t[j], t[j+1], t[j+2], "
+                    "t[j+3]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    denom = h.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = h.select(F.col("source").alias("src_a"), "gram")
+    b = h.select(F.col("source").alias("src_b"), F.col("gram").alias("gram_b"))
+    common = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("src_a") != F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 5)
+    )
+    dd = denom.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    return common.join(F.broadcast(dd), "src_a").select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_grams_a",
+        F.round(
+            F.col("n_common") / F.col("n_grams_a").cast("double"), 6
+        ).alias("containment"),
+    )

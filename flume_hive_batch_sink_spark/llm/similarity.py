@@ -1576,3 +1576,62 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin"
         ),
     )
+
+
+@query(
+    "llm_embedding_norm_audit",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             len(embedding) AS dim,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dim = 64 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_bad_dim,
+           CAST(SUM(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(ROUND(MIN(nrm), 4) AS DOUBLE) AS min_norm,
+           CAST(ROUND(AVG(nrm), 4) AS DOUBLE) AS avg_norm,
+           CAST(ROUND(MAX(nrm), 4) AS DOUBLE) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit — the DQ gate an ANN/semantic-dedup
+    pipeline runs BEFORE indexing: per label, the vector count,
+    wrong-dimension count, zero-norm count (cosine is undefined on
+    them; llm_embed_quantize_int8's degenerate-range guard is the
+    downstream symptom this catches upstream), and the norm
+    min/avg/max (a collapsed or exploded norm distribution flags a
+    broken encoder checkpoint).
+
+    Norms accumulate in DOUBLE in array order on both engines (the
+    _as_double convention — element-order fold, so the float32 sums
+    are bit-identical), entirely inside whole-stage codegen: one
+    narrow projection + one grouped aggregate with map-side combine;
+    nothing leaves the executors but the per-label stats."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            _as_double("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    norms = e.select(
+        "label", F.size("embedding").alias("dim"), nrm.alias("nrm")
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("dim") == 64, 0).otherwise(1)).alias("n_bad_dim"),
+        F.sum(F.when(F.col("nrm") < 1e-12, 1).otherwise(0)).alias(
+            "n_zero_norm"
+        ),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
