@@ -1365,3 +1365,83 @@ def pipeline_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long"),
     )
+
+
+@query(
+    "pipeline_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s.user_id,
+             date_trunc('week', s.signup_ts) AS cohort_week,
+             (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts))
+               // 1000000 AS tt_seconds
+      FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(ROUND(quantile_cont(tt_seconds, 0.5), 2) AS DOUBLE)
+             AS median_tt_s,
+           CAST(ROUND(quantile_cont(tt_seconds, 0.9), 2) AS DOUBLE)
+             AS p90_tt_s,
+           CAST(MIN(tt_seconds) AS BIGINT) AS min_tt_s,
+           CAST(MAX(tt_seconds) AS BIGINT) AS max_tt_s
+    FROM d GROUP BY cohort_week
+    """,
+)
+def pipeline_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY by signup cohort — the companion metric to
+    pipeline_funnel's conversion COUNTS: for each user, seconds from
+    first signup to first subsequent purchase; per cohort week, the
+    median/p90/min/max of that delay (the activation-speed curve a
+    growth team watches).
+
+    Plan: two user-grain MIN aggregations (map-side combined) and one
+    equi-join on user_id — the per-user firsts collapse the raw stream
+    before anything joins, so the join carries |users| rows, not
+    |events|. The >= signup_ts residual rides the equi join (same
+    bounded-band shape as pipeline_attribution_touch). Latencies are
+    microsecond-exact integer seconds (floor-of-difference, the
+    dq_freshness_lag convention); percentiles are exact interpolated
+    (`percentile` ≡ `quantile_cont`) on the per-cohort grain, swapping
+    to approx_percentile sketches at 100 TB per the agg_percentile
+    note."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .join(s, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    d = s.join(p, "user_id").select(
+        F.date_trunc("WEEK", "signup_ts").alias("cohort_week"),
+        F.expr(
+            "(unix_micros(first_purchase_ts) - unix_micros(signup_ts))"
+            " div 1000000"
+        ).alias("tt_seconds"),
+    )
+    return d.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week")
+    ).agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("tt_seconds", 0.5), 2).alias("median_tt_s"),
+        F.round(F.percentile("tt_seconds", 0.9), 2).alias("p90_tt_s"),
+        F.min("tt_seconds").alias("min_tt_s"),
+        F.max("tt_seconds").alias("max_tt_s"),
+    )
