@@ -134,6 +134,10 @@ RISKY = [
     "pipeline_market_basket",
     "graph_common_neighbors",
     "ts_peak_concurrency",
+    "sketch_kmv_distinct",
+    "llm_zipf_fit",
+    "graph_adamic_adar",
+    "llm_source_overlap_matrix",
 ]
 
 

@@ -656,3 +656,20 @@ def test_seasonal_window_on_day_grain(spark):
     p = plan(registry.QUERIES["ts_seasonal_decompose"](spark, SF_DIR))
     assert "Window" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_kmv_min_set_uses_take_ordered(spark):
+    """sketch_kmv_distinct's k-smallest selection must compile to
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global Sort."""
+    p = plan(registry.QUERIES["sketch_kmv_distinct"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_zipf_topk_bounded_before_regression(spark):
+    """llm_zipf_fit's regression aggregate must consume the top-200
+    filter output — the plan contains the rank filter below the final
+    aggregate, and the vocabulary aggregation partial-aggregates."""
+    p = plan(registry.QUERIES["llm_zipf_fit"](spark, SF_DIR))
+    assert "partial" in p.lower()
+    assert "rk" in p
