@@ -628,3 +628,201 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common") / F.col("n_grams_a").cast("double"), 6
         ).alias("containment"),
     )
+
+
+@query(
+    "llm_epoch_shuffle",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 150 THEN 'S'
+                  WHEN n_chars < 300 THEN 'M'
+                  ELSE 'L' END AS len_bucket
+      FROM documents
+    )
+    SELECT doc_id, len_bucket,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY len_bucket
+             ORDER BY md5('epoch-3:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS position
+    FROM bucketed
+    """,
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle with length
+    bucketing: documents group into S/M/L length buckets (the padding-
+    efficiency trick — batches drawn from one bucket waste fewer pad
+    tokens) and each bucket gets a full permutation keyed by
+    md5(epoch_salt, doc_id). Re-running with the same epoch salt
+    reproduces the exact order on any cluster layout — the property
+    that makes a training run resumable and an ablation comparable;
+    changing the salt is a fresh shuffle with zero data movement
+    beyond the rank.
+
+    Plan: one narrow projection, one row_number window PARTITIONED by
+    bucket (per-bucket sorted state — no global sort; at 100 TB the
+    bucket count rises with a finer length grid, keeping partitions
+    bounded). The hash rank is content-addressed like
+    split_train_test, so epoch N's order never depends on file layout
+    or partition count."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 150, "S")
+        .when(F.col("n_chars") < 300, "M")
+        .otherwise("L")
+    )
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.md5(F.concat(F.lit("epoch-3:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("doc_id", bucket.alias("len_bucket"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+    )
+
+
+@query(
+    "llm_tokenizer_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+      WHERE token <> '' GROUP BY token
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk
+        FROM freq
+      ) WHERE rk <= 1000
+    ),
+    hits AS (
+      SELECT t.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      WHERE t.token <> ''
+      GROUP BY t.lang
+    )
+    SELECT lang, n_tokens, n_oov,
+           CAST(ROUND(n_oov / CAST(n_tokens AS DOUBLE), 6) AS DOUBLE)
+             AS oov_rate
+    FROM hits
+    """,
+)
+def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-1000-token vocabulary
+    from the corpus itself (the in-sandbox stand-in for a fixed
+    tokenizer vocab) and report per-language token counts and
+    out-of-vocabulary rates. A language whose OOV rate spikes is the
+    one your tokenizer will shred into bytes — the number to check
+    BEFORE paying for a training run (the fertility/coverage audit of
+    tokenizer evaluations).
+
+    Plan: term frequencies are one explode + map-side-combined
+    hash-agg; the vocabulary is a bounded top-k of the AGGREGATED
+    vocabulary (row_number-filter, |vocab| rows); the coverage pass
+    LEFT-joins tokens against the BROADCAST 1000-row vocab — the big
+    side never shuffles. Rank ties break on the token string, so the
+    vocab set is engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), "token")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 1000)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    hits = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return hits.select(
+        "lang",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    dup AS (
+      SELECT content_hash FROM h GROUP BY content_hash HAVING count(*) >= 2
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(h.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ROUND(quantile_cont(h.n_chars, 0.5), 2) AS DOUBLE)
+             AS median_chars,
+           CAST(SUM(CASE WHEN d.content_hash IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(ROUND(SUM(CASE WHEN d.content_hash IS NULL THEN 0 ELSE 1 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+    FROM h LEFT JOIN dup d ON h.content_hash = d.content_hash
+    GROUP BY h.source
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the quantitative half of the standard
+    dataset documentation artifact (Gebru et al., "Datasheets for
+    Datasets"): document and language counts, total whitespace tokens,
+    median document length, and the exact-duplicate rate measured
+    against the WHOLE corpus (a source whose documents mostly
+    duplicate other sources contributes far less than its row count
+    suggests — the number that reweights a training mix).
+
+    Plan: one narrow projection computes tokens + content hash in
+    codegen; duplicated hashes are one hash-agg with a HAVING filter
+    (small — only actually-duplicated hashes survive) LEFT-joined back
+    by hash; the card itself is one grouped aggregate per source.
+    Exact median kept for the oracle (approx_percentile at 100 TB,
+    per the agg_percentile note)."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    )
+    dup = (
+        h.groupBy("content_hash")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("content_hash", F.lit(True).alias("is_dup"))
+    )
+    joined = h.join(F.broadcast(dup), "content_hash", "left")
+    dup_docs = F.sum(F.when(F.col("is_dup").isNull(), 0).otherwise(1))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.percentile("n_chars", 0.5), 2).alias("median_chars"),
+        dup_docs.alias("n_dup_docs"),
+        F.round(dup_docs / F.count("*").cast("double"), 6).alias("dup_rate"),
+    )
