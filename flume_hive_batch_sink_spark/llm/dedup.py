@@ -833,3 +833,142 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - F.col("j")), 6).alias("abs_err"),
         )
     )
+
+
+# Incremental-dedup bloom parameters — same engine-portable hash family
+# as sketch_bloom_prejoin (operators/sketches.py), same modulus chain.
+_INC_M = 8192
+_INC_P = 2_147_483_647
+_INC_BATCH = ("src16", "src17", "src18", "src19")
+_INC_HASHES = ((2654435761, 7), (2246822519, 131), (3266489917, 911))
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(substr(lower(trim(text)), 1, 120)),
+                                      1, 15)) AS BIGINT) AS k
+      FROM documents
+    ),
+    corpus AS (
+      SELECT DISTINCT k FROM h
+      WHERE source NOT IN {_INC_BATCH!r}
+    ),
+    batch AS (
+      SELECT doc_id, k FROM h WHERE source IN {_INC_BATCH!r}
+    ),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT ((k % {_INC_P}) * 2654435761 + 7) % {_INC_P} % {_INC_M} AS b FROM corpus
+        UNION ALL
+        SELECT ((k % {_INC_P}) * 2246822519 + 131) % {_INC_P} % {_INC_M} FROM corpus
+        UNION ALL
+        SELECT ((k % {_INC_P}) * 3266489917 + 911) % {_INC_P} % {_INC_M} FROM corpus
+      )
+    ),
+    ph AS (
+      SELECT doc_id, k, ((k % {_INC_P}) * 2654435761 + 7) % {_INC_P} % {_INC_M} AS b
+      FROM batch
+      UNION ALL
+      SELECT doc_id, k, ((k % {_INC_P}) * 2246822519 + 131) % {_INC_P} % {_INC_M}
+      FROM batch
+      UNION ALL
+      SELECT doc_id, k, ((k % {_INC_P}) * 3266489917 + 911) % {_INC_P} % {_INC_M}
+      FROM batch
+    ),
+    maybe AS (
+      SELECT ph.doc_id, ph.k FROM ph JOIN bits USING (b)
+      GROUP BY ph.doc_id, ph.k HAVING COUNT(*) = 3
+    ),
+    tru AS (
+      SELECT m.doc_id FROM maybe m
+      WHERE m.k IN (SELECT k FROM corpus)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_corpus_keys,
+           CAST((SELECT COUNT(*) FROM maybe) AS BIGINT) AS n_maybe,
+           CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true_dup,
+           CAST((SELECT COUNT(*) FROM maybe)
+                - (SELECT COUNT(*) FROM tru) AS BIGINT) AS n_false_pos,
+           CAST(ROUND(1.0 - (SELECT COUNT(*) FROM maybe)
+                            / CAST((SELECT COUNT(*) FROM batch) AS DOUBLE),
+                      4) AS DOUBLE) AS prune_pct
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape that matters at 100 TB: a new
+    batch (sources src16–19) checks against the EXISTING corpus
+    without re-scanning or re-joining the corpus per batch. The corpus
+    compresses to an m=8192/k=3 Bloom bitmap over prefix fingerprints
+    (md5 of the 120-char normalized prefix — the llm_prefix_dup tier;
+    the fixture has no full-text exact dups across sources, prefix
+    collisions are the realistic near-dup entry signal), the batch
+    probes the broadcast bitmap, and only Bloom survivors pay the
+    exact semi-join. The report certifies the economics: survivors,
+    true duplicates, false positives, and the prune ratio — at scale
+    the bitmap is kilobytes shipped to every executor while the
+    corpus stays on disk.
+
+    The engine-portable hash family replays every bit in the oracle
+    EXACTLY (same multiply-add-mod chain as sketch_bloom_prejoin), so
+    this is a zero-tolerance gate, not a certificate. Unlike the
+    orderkey-domain bloom, the fingerprint keys are ~2^60, so both
+    engines reduce k mod P BEFORE the multiply — the raw product
+    overflows int64 identically on Spark (ANSI arithmetic) and
+    DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.substring(F.lower(F.trim("text")), 1, 120)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    h = d.select("doc_id", "source", key.alias("k"))
+    corpus = (
+        h.filter(~F.col("source").isin(*_INC_BATCH)).select("k").distinct()
+    )
+    batch = h.filter(F.col("source").isin(*_INC_BATCH)).select("doc_id", "k")
+
+    def bloom_bits(df, a, b):
+        return df.select(
+            "*", ((F.col("k") * a + b) % _INC_P % _INC_M).alias("b")
+        )
+
+    bits = None
+    probes = None
+    for a, b in _INC_HASHES:
+        bi = corpus.select((((F.col("k") % _INC_P) * a + b) % _INC_P % _INC_M).alias("b"))
+        pr = batch.select(
+            "doc_id", "k", (((F.col("k") % _INC_P) * a + b) % _INC_P % _INC_M).alias("b")
+        )
+        bits = bi if bits is None else bits.unionAll(bi)
+        probes = pr if probes is None else probes.unionAll(pr)
+    bits = bits.distinct()
+    maybe = (
+        probes.join(F.broadcast(bits), "b")
+        .groupBy("doc_id", "k")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == 3)
+        .select("doc_id", "k")
+    )
+    tru = maybe.join(corpus, "k", "left_semi")
+    n_batch = batch.agg(F.count("*").alias("n_batch"))
+    n_corpus = corpus.agg(F.count("*").alias("n_corpus_keys"))
+    n_maybe = maybe.agg(F.count("*").alias("n_maybe"))
+    n_true = tru.agg(F.count("*").alias("n_true_dup"))
+    return (
+        n_batch.join(F.broadcast(n_corpus))
+        .join(F.broadcast(n_maybe))
+        .join(F.broadcast(n_true))
+        .select(
+            "n_batch",
+            "n_corpus_keys",
+            "n_maybe",
+            "n_true_dup",
+            (F.col("n_maybe") - F.col("n_true_dup")).alias("n_false_pos"),
+            F.round(
+                1.0 - F.col("n_maybe") / F.col("n_batch").cast("double"), 4
+            ).alias("prune_pct"),
+        )
+    )

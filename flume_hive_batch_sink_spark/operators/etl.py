@@ -1426,3 +1426,128 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.alias("lag_seconds"),
         (lag_s > 3600).alias("stale_flag"),
     )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+      SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    edges AS (
+      SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+              quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+              quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+              quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+              quantile_cont(value, 0.9)] AS e
+      FROM ref
+    ),
+    rb AS (
+      SELECT 1 + len(list_filter(edges.e, x -> value > x)) AS bin
+      FROM ref, edges
+    ),
+    cb AS (
+      SELECT 1 + len(list_filter(edges.e, x -> value > x)) AS bin
+      FROM cur, edges
+    ),
+    p AS (
+      SELECT bin, count(*) / CAST((SELECT count(*) FROM rb) AS DOUBLE)
+               AS p_frac
+      FROM rb GROUP BY bin
+    ),
+    q AS (
+      SELECT bin, count(*) / CAST((SELECT count(*) FROM cb) AS DOUBLE)
+               AS q_frac
+      FROM cb GROUP BY bin
+    ),
+    parts AS (
+      SELECT p.bin, p.p_frac, q.q_frac,
+             (p.p_frac - q.q_frac) * ln(p.p_frac / q.q_frac) AS psi_part
+      FROM p JOIN q ON p.bin = q.bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(ROUND(p_frac, 6) AS DOUBLE) AS p_frac,
+           CAST(ROUND(q_frac, 6) AS DOUBLE) AS q_frac,
+           CAST(ROUND(psi_part, 6) AS DOUBLE) AS psi_part,
+           CAST(ROUND(SUM(psi_part) OVER (), 6) AS DOUBLE) AS psi_total,
+           SUM(psi_part) OVER () > 0.2 AS drift_flag
+    FROM parts
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the month's first half
+    (reference window) and second half (current window) of the event
+    value distribution — the standard drift monitor on a model input
+    or metric feed: decile bin edges fit on the REFERENCE window,
+    both windows histogrammed against those fixed edges, PSI =
+    Σ (p−q)·ln(p/q); > 0.2 is the conventional investigate threshold.
+
+    Engine parity notes: the edges are exact interpolated deciles
+    computed from identical sorted data by the identical formula on
+    both engines, and bin assignment is the SAME strict-greater
+    comparison against the same edge list (in-row array filter — the
+    grid never explodes). Plan: one narrow scan (the two windows are
+    disjoint pushed-down filters over one pass), edges as a broadcast
+    1-row aggregate, two 10-key aggregations; at 100 TB swap the
+    exact deciles for approx_percentile per the agg_percentile
+    note — PSI is insensitive to edge wiggle by construction."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    cur = ev.filter(F.col("ts") >= cut).select("value")
+    edges = ref.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("e")
+    )
+
+    def binned(df):
+        return df.join(F.broadcast(edges)).select(
+            (
+                1
+                + F.size(
+                    F.filter("e", lambda x: F.col("value") > x)
+                )
+            ).alias("bin")
+        )
+
+    rb, cb = binned(ref), binned(cur)
+    nr = rb.agg(F.count("*").alias("n_ref"))
+    nc = cb.agg(F.count("*").alias("n_cur"))
+    p = (
+        rb.groupBy("bin")
+        .agg(F.count("*").alias("np"))
+        .join(F.broadcast(nr))
+        .select("bin", (F.col("np") / F.col("n_ref")).alias("p_frac"))
+    )
+    q = (
+        cb.groupBy("bin")
+        .agg(F.count("*").alias("nq"))
+        .join(F.broadcast(nc))
+        .select(
+            F.col("bin").alias("bin_q"),
+            (F.col("nq") / F.col("n_cur")).alias("q_frac"),
+        )
+    )
+    parts = p.join(q, p.bin == q.bin_q).select(
+        "bin",
+        "p_frac",
+        "q_frac",
+        (
+            (F.col("p_frac") - F.col("q_frac"))
+            * F.log(F.col("p_frac") / F.col("q_frac"))
+        ).alias("psi_raw"),
+    )
+    w = Window.partitionBy()
+    psi_total = F.sum("psi_raw").over(w)
+    return parts.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("p_frac", 6).alias("p_frac"),
+        F.round("q_frac", 6).alias("q_frac"),
+        F.round("psi_raw", 6).alias("psi_part"),
+        F.round(psi_total, 6).alias("psi_total"),
+        (psi_total > 0.2).alias("drift_flag"),
+    )

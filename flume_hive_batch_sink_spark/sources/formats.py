@@ -176,3 +176,100 @@ def scan_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("timestampType"),
     )
     return source.decode_kafka_events(wire)
+
+
+@query(
+    "scan_text_regex_parse",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           user_id, event_type,
+           CAST(ROUND(value, 4) AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-log ingestion path the reference world actually starts
+    from: events serialized to logfmt-style text lines
+    (``id=… ts=… user=… type=… value=…``), rescanned with
+    ``spark.read.text``, and parsed by regexp_extract back into typed
+    columns — proving the unstructured-text → typed-table hop is
+    lossless. Complements scan_csv_roundtrip (delimited) with the
+    free-form-line format a Flume tail source emits.
+
+    Determinism: the value is fixed to 4 decimals with format_number
+    BEFORE writing (string-exact roundtrip, no double re-rendering
+    ambiguity), timestamps to whole seconds. Parse is 5 regexp_extract
+    expressions in codegen — one pass, no UDF; at 100 TB text splits
+    line-wise like CSV and the parse stays map-side."""
+    ev = load(spark, sf_dir, "events").select(
+        F.format_string(
+            "id=%d ts=%s user=%d type=%s value=%s",
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.format_number(F.round("value", 4), 4),
+        ).alias("value")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="text_regex_"), "events_log")
+    ev.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    line = F.col("value")
+    return back.select(
+        F.regexp_extract(line, r"id=(\d+)", 1).cast("bigint").alias(
+            "event_id"
+        ),
+        F.regexp_extract(
+            line, r"ts=(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})", 1
+        ).alias("ts_s"),
+        F.regexp_extract(line, r"user=(\d+)", 1).cast("bigint").alias(
+            "user_id"
+        ),
+        F.regexp_extract(line, r"type=(\w+)", 1).alias("event_type"),
+        F.regexp_replace(
+            F.regexp_extract(line, r"value=([-\d.,]+)", 1), ",", ""
+        )
+        .cast("double")
+        .alias("value"),
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read half of hive_partitioned_write: events land in a
+    dt-partitioned parquet layout, and a dt-filtered query must touch
+    ONLY that partition's directory — partition PRUNING, the single
+    biggest scan saver at 100 TB (a day filter on a year of data reads
+    0.3% of files before any row is decoded). The filter appears as
+    PartitionFilters in the scan node (plan-gated in
+    tests/test_plans.py), not as a post-scan predicate.
+
+    The partitioned copy is written once per (session, sf) into the
+    session warehouse and reused — the same pay-once contract as the
+    bucketed-join tables."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "/tmp"
+    tag = sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    out = os.path.join(wh, f"part_pruned_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-05")
+    return back.groupBy("dt", F.hour("ts").cast("long").alias("hr")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -673,3 +673,21 @@ def test_zipf_topk_bounded_before_regression(spark):
     p = plan(registry.QUERIES["llm_zipf_fit"](spark, SF_DIR))
     assert "partial" in p.lower()
     assert "rk" in p
+
+
+def test_partition_pruning_in_scan(spark):
+    """scan_partition_pruned's dt filter must appear as PartitionFilters
+    on the partitioned parquet scan — whole directories skipped before
+    any row is decoded, the biggest scan saver at 100 TB."""
+    p = plan(registry.QUERIES["scan_partition_pruned"](spark, SF_DIR))
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1].split("\n")[0]
+    assert "dt" in seg and "2024-01-05" in seg
+
+
+def test_incremental_dedup_bloom_broadcast(spark):
+    """The corpus bloom bitmap must BROADCAST to the batch probes (the
+    kilobytes-to-every-executor contract); no cartesian products."""
+    p = plan(registry.QUERIES["llm_incremental_dedup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
