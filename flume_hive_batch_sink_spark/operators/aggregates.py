@@ -1039,3 +1039,83 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@query(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))
+                      * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(mu, 6) AS DOUBLE) AS mean_qty,
+           CAST(ROUND(m3 / POW(m2, 1.5), 6) AS DOUBLE) AS skewness_pop,
+           CAST(ROUND(m4 / (m2 * m2) - 3, 6) AS DOUBLE) AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag,
+    computed from EXACT power sums instead of the engines' builtin
+    aggregates — Spark's skewness/kurtosis are population-convention
+    while DuckDB's are bias-corrected sample statistics, so the
+    builtins can NEVER hash-match; worse, streaming co-moment
+    accumulation orders differ. The repo answer: quantities are
+    integers 1–50, so Σx..Σx⁴ are EXACT in DECIMAL (map-side-combined
+    integer arithmetic, Σx⁴ ≤ 3.8e11 — no overflow, no float order
+    sensitivity), and the central-moment formulas then run as an
+    identical fixed sequence of double ops on identical inputs —
+    bit-reproducible on any cluster layout, which is the property a
+    monitoring pipeline needs from a distribution-shape metric.
+
+    Plan: one scan, one 3-key hash aggregation; the moment algebra is
+    constant-folded projection work."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4 * mu * (s3 / n)
+        + 6 * mu * mu * (s2 / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )

@@ -1445,3 +1445,57 @@ def pipeline_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tt_seconds").alias("min_tt_s"),
         F.max("tt_seconds").alias("max_tt_s"),
     )
+
+
+@query(
+    "pipeline_revenue_bridge",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('month', l_shipdate) AS m,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price_d,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(6,2)) AS disc_amt,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,2)))
+               * CAST(l_tax AS DECIMAL(6,2)) AS tax_amt
+      FROM lineitem
+    )
+    SELECT strftime(m, '%Y-%m') AS ship_month,
+           CAST(SUM(price_d) AS DOUBLE) AS gross,
+           CAST(SUM(disc_amt) AS DOUBLE) AS discount_amt,
+           CAST(SUM(tax_amt) AS DOUBLE) AS tax_amt,
+           CAST(SUM(price_d - disc_amt + tax_amt) AS DOUBLE) AS net_charged
+    FROM d GROUP BY 1
+    """,
+)
+def pipeline_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue bridge — the finance decomposition every revenue
+    dashboard opens with: gross book value, discount given back, tax
+    collected, and the net amount actually charged (gross − discount +
+    tax), bridged so the components provably sum to the total.
+
+    Exactness discipline (the TPC-H Q1 convention taken further): the
+    2-decimal columns cast to DECIMAL at the scan (the cast absorbs
+    the double representation error; no ROUND anywhere — round-half
+    conventions differ between engines and WILL flip a 4th decimal on
+    exact-tie products), every component is then pure decimal
+    multiplication, so the bridge identity gross − discount + tax =
+    net holds EXACTLY and no float summation order can break it in
+    either engine. Plan: one scan, one month-key aggregation with map-side
+    combine — a 100 TB ledger rolls up exactly like the fixture."""
+    li = load(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(6,2)")
+    tax_d = F.col("l_tax").cast("decimal(6,2)")
+    disc = gross * disc_d
+    tax = gross * (F.lit(1).cast("decimal(6,2)") - disc_d) * tax_d
+    return li.groupBy(
+        F.date_format(F.date_trunc("MONTH", "l_shipdate"), "yyyy-MM").alias(
+            "ship_month"
+        )
+    ).agg(
+        F.sum(gross).cast("double").alias("gross"),
+        F.sum(disc).cast("double").alias("discount_amt"),
+        F.sum(tax).cast("double").alias("tax_amt"),
+        F.sum(gross - disc + tax).cast("double").alias("net_charged"),
+    )
