@@ -200,7 +200,9 @@ def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE writing (string-exact roundtrip, no double re-rendering
     ambiguity), timestamps to whole seconds. Parse is 5 regexp_extract
     expressions in codegen — one pass, no UDF; at 100 TB text splits
-    line-wise like CSV and the parse stays map-side."""
+    line-wise like CSV and the parse stays map-side. The text copy is
+    written once per (session, sf) into the warehouse and reused
+    (_SUCCESS-guarded) — no per-invocation temp-dir leak."""
     ev = load(spark, sf_dir, "events").select(
         F.format_string(
             "id=%d ts=%s user=%d type=%s value=%s",
@@ -211,8 +213,13 @@ def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_number(F.round("value", 4), 4),
         ).alias("value")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="text_regex_"), "events_log")
-    ev.write.mode("overwrite").text(out)
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "/tmp"
+    tag = sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    out = os.path.join(wh, f"text_regex_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev.write.mode("overwrite").text(out)
     back = spark.read.text(out)
     line = F.col("value")
     return back.select(
