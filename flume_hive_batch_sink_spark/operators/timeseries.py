@@ -797,3 +797,52 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.expr(f"stack(7, {stack_args}) AS (lag, acf)")
     )
+
+
+@query(
+    "ts_calendar_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells)
+    SELECT CAST(dow AS BIGINT) AS dow, hr, n, sum_value,
+           CAST(ROUND(n / (SELECT t FROM tot), 6) AS DOUBLE) AS share,
+           n = MAX(n) OVER (PARTITION BY dow) AS is_peak_hour
+    FROM cells
+    """,
+)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-profile
+    matrix behind every ops dashboard and capacity plan: event count
+    and value per (dow, hr) cell, each cell's share of total traffic,
+    and a per-day peak-hour flag. Day-of-week uses DuckDB's 0=Sunday
+    convention (Spark dayofweek − 1, the ts_seasonal_decompose
+    normalization).
+
+    Plan: one map-side-combined aggregation onto at most 7×24 = 168
+    cells; the share and peak flags are window work over those 168
+    rows — the raw volume touches exactly one scan at any scale."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    wt = Window.partitionBy()
+    wd = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hr",
+        "n",
+        "sum_value",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+            "share"
+        ),
+        (F.col("n") == F.max("n").over(wd)).alias("is_peak_hour"),
+    )

@@ -1499,3 +1499,61 @@ def pipeline_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tax).cast("double").alias("tax_amt"),
         F.sum(gross - disc + tax).cast("double").alias("net_charged"),
     )
+
+
+@query(
+    "pipeline_ship_sla",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(AVG(lag_days), 4) AS DOUBLE) AS avg_lag_days,
+           CAST(ROUND(quantile_cont(lag_days, 0.9), 2) AS DOUBLE)
+             AS p90_lag_days,
+           CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(ROUND(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS late_rate
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def pipeline_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA report by priority class: per-line fulfillment
+    lag (whole days, order date → ship date), its mean and p90, and
+    the rate breaching a 90-day SLA — the operational complement to
+    TPC-H Q4's late-order counting, at line grain where the expediting
+    decisions happen. Lines shipped before their order date (data
+    errors) are excluded rather than polluting the lag distribution —
+    dq_constraint_suite's job is to count them.
+
+    Plan: the fact join carries only the two date columns plus the
+    broadcast priority dim column; day lags are exact integer
+    datediffs on date-cast timestamps (both engines truncate
+    identically — midnight-anchored fixture dates); one 5-key
+    aggregation with map-side combine. Exact p90 per the
+    agg_percentile convention, approx at 100 TB."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+        )
+    )
+    late = F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
+        F.round(F.percentile("lag_days", 0.9), 2).alias("p90_lag_days"),
+        late.alias("n_late"),
+        F.round(late / F.count("*").cast("double"), 6).alias("late_rate"),
+    )
