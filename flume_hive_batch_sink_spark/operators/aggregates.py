@@ -1119,3 +1119,59 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_trimmed_winsorized",
+    oracle="""
+    WITH edges AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.1) AS p10,
+             quantile_cont(l_extendedprice, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(l.l_extendedprice), 4) AS DOUBLE) AS mean_raw,
+           CAST(ROUND(AVG(CASE WHEN l.l_extendedprice BETWEEN e.p10 AND e.p90
+                               THEN l.l_extendedprice END), 4) AS DOUBLE)
+             AS mean_trimmed,
+           CAST(ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, e.p10), e.p90)),
+                      4) AS DOUBLE) AS mean_winsorized
+    FROM lineitem l JOIN edges e ON l.l_returnflag = e.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency per return flag: the 10% trimmed mean
+    (drop both tails) and the winsorized mean (clamp both tails) next
+    to the raw mean — the outlier-resistant estimators a metrics
+    pipeline swaps in when a fat tail or a bad feed corrupts plain
+    averages (complementing dq_anomaly_mad's robust SPREAD estimator).
+
+    Plan: the per-group decile edges are one aggregation over the
+    grouped scan, broadcast back onto the same scan by group key (two
+    passes over cached input, the unavoidable minimum for
+    rank-dependent trimming), then one aggregation computes all three
+    means. Trim membership uses inclusive BETWEEN against identical
+    interpolated edges on both engines; at 100 TB the edges come from
+    approx_percentile and the second pass is unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    edges = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.1).alias("p10"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+    )
+    j = li.join(F.broadcast(edges), "l_returnflag")
+    x = F.col("l_extendedprice")
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(x), 4).alias("mean_raw"),
+        F.round(
+            F.avg(F.when(x.between(F.col("p10"), F.col("p90")), x)), 4
+        ).alias("mean_trimmed"),
+        F.round(
+            F.avg(F.least(F.greatest(x, F.col("p10")), F.col("p90"))), 4
+        ).alias("mean_winsorized"),
+    )

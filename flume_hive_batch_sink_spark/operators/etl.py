@@ -1551,3 +1551,51 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(psi_total, 6).alias("psi_total"),
         (psi_total > 0.2).alias("drift_flag"),
     )
+
+
+@query(
+    "etl_retention_sweep",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS mx FROM events
+    ),
+    parts AS (
+      SELECT date_trunc('day', ts) AS dt_ts,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(dt_ts, '%Y-%m-%d') AS dt, n_rows, n_users,
+           CAST(date_diff('day', dt_ts, (SELECT mx FROM anchor))
+                AS BIGINT) AS age_days
+    FROM parts
+    WHERE date_diff('day', dt_ts, (SELECT mx FROM anchor)) > 21
+    """,
+)
+def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep work list — the other half of partition
+    lifecycle next to etl_backfill_planner's creation side: which dt
+    partitions have aged past the 21-day retention policy (relative to
+    the newest data, not wall clock — deterministic and correct for
+    backfills), with per-partition row and user counts so the sweep
+    job can log what it deletes and a legal hold can veto by content.
+
+    Plan: one day-grain aggregation (map-side combined), the age
+    anchor as a broadcast 1-row aggregate, a constant-folded threshold
+    filter — one scan regardless of volume; the actual delete is
+    rm -r on the listed partition dirs plus a manifest update
+    (etl_partition_manifest_checksum's domain), never a data job."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("DAY", F.max("ts")).alias("mx"))
+    parts = ev.groupBy(F.date_trunc("DAY", "ts").alias("dt_ts")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    j = parts.join(F.broadcast(anchor))
+    age = F.datediff("mx", "dt_ts")
+    return j.filter(age > 21).select(
+        F.date_format("dt_ts", "yyyy-MM-dd").alias("dt"),
+        "n_rows",
+        "n_users",
+        age.cast("long").alias("age_days"),
+    )

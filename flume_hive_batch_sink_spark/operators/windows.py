@@ -571,3 +571,66 @@ def win_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_change"
         ),
     )
+
+
+@query(
+    "win_skyline_2d",
+    oracle="""
+    WITH pg AS (
+      SELECT o_orderpriority, o_totalprice,
+             MAX(o_orderdate) AS best_date,
+             MIN(o_orderkey) AS best_key
+      FROM orders GROUP BY o_orderpriority, o_totalprice
+    ),
+    pref AS (
+      SELECT o_orderpriority, o_totalprice, best_date, best_key,
+             MAX(best_date) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS dom_date
+      FROM pg
+    )
+    SELECT o_orderpriority,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           best_date AS o_orderdate, best_key AS o_orderkey
+    FROM pref
+    WHERE dom_date IS NULL OR dom_date <= best_date
+    """,
+)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (maximal-vector / Pareto-optimal) query per order
+    priority: the orders not strictly dominated on (totalprice,
+    orderdate) — no other order in the class has BOTH higher price and
+    later date. The classic Börzsönyi et al. (ICDE'01) operator,
+    expressed as the sort-scan algorithm instead of the naive O(n²)
+    anti-self-join: collapse to the price grain (max date per price —
+    only the best candidate per price can be skyline), sort descending
+    by price within the partition, and keep rows whose date isn't
+    beaten by the running max over STRICTLY higher prices (the 1
+    PRECEDING frame excludes the row's own price group, giving strict
+    domination; equal-price rows never dominate each other).
+
+    Plan: one aggregation to the (priority, price) grain, one window
+    PARTITIONED by priority — per-class sorted state, no global sort,
+    no self-join; at 100 TB skylines are computed per class exactly
+    like this, and a classless skyline runs the same shape after a
+    coarse price-bucket pre-prune."""
+    o = load(spark, sf_dir, "orders")
+    pg = o.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.max("o_orderdate").alias("best_date"),
+        F.min("o_orderkey").alias("best_key"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = pg.withColumn("dom_date", F.max("best_date").over(w))
+    return pref.filter(
+        F.col("dom_date").isNull() | (F.col("dom_date") <= F.col("best_date"))
+    ).select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("best_date").alias("o_orderdate"),
+        F.col("best_key").alias("o_orderkey"),
+    )
