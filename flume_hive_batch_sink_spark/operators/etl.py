@@ -1464,9 +1464,11 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cb GROUP BY bin
     ),
     parts AS (
-      SELECT p.bin, p.p_frac, q.q_frac,
-             (p.p_frac - q.q_frac) * ln(p.p_frac / q.q_frac) AS psi_part
-      FROM p JOIN q ON p.bin = q.bin
+      SELECT p.bin, p.p_frac,
+             COALESCE(q.q_frac, 0.000001) AS q_frac,
+             (p.p_frac - COALESCE(q.q_frac, 0.000001))
+               * ln(p.p_frac / COALESCE(q.q_frac, 0.000001)) AS psi_part
+      FROM p LEFT JOIN q ON p.bin = q.bin
     )
     SELECT CAST(bin AS BIGINT) AS bin,
            CAST(ROUND(p_frac, 6) AS DOUBLE) AS p_frac,
@@ -1532,13 +1534,16 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nq") / F.col("n_cur")).alias("q_frac"),
         )
     )
-    parts = p.join(q, p.bin == q.bin_q).select(
+    # LEFT join + epsilon floor: a bin with zero current-window rows is
+    # maximal drift evidence, not a row to drop (the standard PSI
+    # epsilon convention) — mirrored exactly in the oracle.
+    qf = F.coalesce(F.col("q_frac"), F.lit(0.000001))
+    parts = p.join(q, p.bin == q.bin_q, "left").select(
         "bin",
         "p_frac",
-        "q_frac",
+        qf.alias("q_frac"),
         (
-            (F.col("p_frac") - F.col("q_frac"))
-            * F.log(F.col("p_frac") / F.col("q_frac"))
+            (F.col("p_frac") - qf) * F.log(F.col("p_frac") / qf)
         ).alias("psi_raw"),
     )
     w = Window.partitionBy()
