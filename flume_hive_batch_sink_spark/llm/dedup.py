@@ -930,21 +930,21 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = h.filter(F.col("source").isin(*_INC_BATCH)).select("doc_id", "k")
 
-    def bloom_bits(df, a, b):
-        return df.select(
-            "*", ((F.col("k") * a + b) % _INC_P % _INC_M).alias("b")
+    # All k=3 positions come from ONE projection + explode — a 3-way
+    # union of sub-plans would scan (and re-aggregate) the corpus three
+    # times; the array form keeps it to one pass on each side.
+    def positions():
+        return F.array(
+            *[
+                ((F.col("k") % _INC_P) * a + b) % _INC_P % _INC_M
+                for a, b in _INC_HASHES
+            ]
         )
 
-    bits = None
-    probes = None
-    for a, b in _INC_HASHES:
-        bi = corpus.select((((F.col("k") % _INC_P) * a + b) % _INC_P % _INC_M).alias("b"))
-        pr = batch.select(
-            "doc_id", "k", (((F.col("k") % _INC_P) * a + b) % _INC_P % _INC_M).alias("b")
-        )
-        bits = bi if bits is None else bits.unionAll(bi)
-        probes = pr if probes is None else probes.unionAll(pr)
-    bits = bits.distinct()
+    bits = corpus.select(F.explode(positions()).alias("b")).distinct()
+    probes = batch.select(
+        "doc_id", "k", F.explode(positions()).alias("b")
+    )
     maybe = (
         probes.join(F.broadcast(bits), "b")
         .groupBy("doc_id", "k")
