@@ -726,11 +726,22 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_end"
         ),
     )
+    # Both deltas emit from ONE pass over the segments (explode of a
+    # 2-struct array) — a unionAll of two selects would re-run the
+    # sessionize window + aggregation for each branch.
     deltas = seg.select(
-        "day", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(
-        seg.select("day", F.col("seg_end").alias("ts"), F.lit(-1).alias("delta"))
-    )
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("seg_end").alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("d"),
+    ).select("day", F.col("d.ts").alias("ts"), F.col("d.delta").alias("delta"))
     dw = Window.partitionBy("day").orderBy(
         F.col("ts"), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
