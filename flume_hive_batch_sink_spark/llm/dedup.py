@@ -972,3 +972,163 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_pct"),
         )
     )
+
+
+# Banding-certificate geometry: 16 md5-string hashes = 8 bands x 2 rows,
+# measured at truth threshold J >= 0.5 where theoretical recall is
+# 1-(1-J^2)^8 ~ 0.90 at the boundary — deliberately imperfect so the
+# certificate MEASURES the miss rate instead of certifying a vacuous 1.0.
+_PR_K = 16
+_PR_BANDS = 8
+_PR_ROWS = 2
+_PR_T = 0.5
+
+
+def _pr_sig_sql(k: int) -> str:
+    return (
+        f"list_min(list_transform(t, x -> md5('{k}:' || x)))"
+    )
+
+
+_LSH_PR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"{_pr_sig_sql(k)} AS s{k}" for k in range(_PR_K))}
+      FROM toks
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(s{2 * b} || '|' || s{2 * b + 1}) AS band_key FROM sig"
+        for b in range(_PR_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    n AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+      WHERE CAST(ni AS DOUBLE) / (na.nt + nb.nt - ni) >= {_PR_T}
+    ),
+    hits AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(ROUND((SELECT count(*) FROM hits)
+                      / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+                AS DOUBLE) AS precision_at_t,
+           CAST(ROUND((SELECT count(*) FROM hits)
+                      / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+                AS DOUBLE) AS recall_at_t
+"""
+
+
+@query("llm_lsh_band_pr", oracle=_LSH_PR_ORACLE)
+def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding precision/recall certificate — the OTHER half of
+    parameter tuning next to llm_minhash_estimate's estimator
+    calibration: run an 8-band × 2-row banding over 16 MinHash
+    positions and measure, against exact all-pairs Jaccard ground
+    truth at J ≥ 0.5, how many true pairs the buckets surface (recall)
+    and how much of the candidate set is junk the verify tier must
+    discard (precision). The geometry is chosen so boundary recall is
+    ~0.90 — the certificate records a REAL operating point, not a
+    vacuous 1.0 (llm_near_dedup_minhash's production geometry is
+    16×2 at J ≥ 0.8 where the miss rate is ~7e-8).
+
+    Portability: signature positions are md5-string minima (MinHash
+    needs only a total order; identical hex digests order identically
+    everywhere), band keys are md5 over the concatenated band slice,
+    so DuckDB replays every bucket bit-exactly — the banding itself is
+    differential-tested, which the production xxhash64 path (not
+    SQL-expressible) structurally cannot be. Plan: signatures and band
+    keys are in-row array expressions (map-side), candidates shuffle
+    only (band_idx, band_key), truth runs the exact token join —
+    affordable precisely because this is the sf0.01 certificate tier."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+
+    def sig(k: int) -> F.Column:
+        pre = F.lit(f"{k}:")
+        return F.array_min(
+            F.transform(F.col("t"), lambda x: F.md5(F.concat(pre, x)))
+        )
+
+    sigs = toks.select(
+        "doc_id", "t", *[sig(k).alias(f"s{k}") for k in range(_PR_K)]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))
+            )
+            for b in range(_PR_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pa = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    pb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    pairs = (
+        pa.join(pb, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
+    )
+    jac = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    )
+    truth = pairs.filter(jac >= _PR_T).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        nc.join(F.broadcast(nt))
+        .join(F.broadcast(nh))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_candidates").cast("double"), 6
+            ).alias("precision_at_t"),
+            F.round(
+                F.col("n_hits") / F.col("n_truth").cast("double"), 6
+            ).alias("recall_at_t"),
+        )
+    )
