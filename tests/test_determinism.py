@@ -138,6 +138,12 @@ RISKY = [
     "llm_zipf_fit",
     "graph_adamic_adar",
     "llm_source_overlap_matrix",
+    "win_skyline_2d",
+    "agg_trimmed_winsorized",
+    "ts_calendar_heatmap",
+    "llm_lsh_band_pr",
+    "llm_epoch_shuffle",
+    "llm_incremental_dedup",
 ]
 
 
