@@ -1557,3 +1557,108 @@ def pipeline_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.alias("n_late"),
         F.round(late / F.count("*").cast("double"), 6).alias("late_rate"),
     )
+
+
+@query(
+    "pipeline_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT user_id, d AS active_day,
+             unnest(generate_series(d, d + INTERVAL 29 DAY,
+                                    INTERVAL 1 DAY)) AS report_day
+      FROM ud
+    ),
+    mau AS (
+      SELECT report_day, count(DISTINCT user_id) AS mau
+      FROM contrib GROUP BY report_day
+    ),
+    wau AS (
+      SELECT report_day, count(DISTINCT user_id) AS wau
+      FROM contrib
+      WHERE report_day <= active_day + INTERVAL 6 DAY
+      GROUP BY report_day
+    ),
+    dau AS (
+      SELECT d AS report_day, count(*) AS dau FROM ud GROUP BY d
+    )
+    SELECT strftime(dy.d, '%Y-%m-%d') AS dt,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS DOUBLE)
+             AS stickiness
+    FROM days dy
+    JOIN dau ON dau.report_day = dy.d
+    JOIN wau ON wau.report_day = dy.d
+    JOIN mau ON mau.report_day = dy.d
+    """,
+)
+def pipeline_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU / stickiness (DAU÷MAU) per day — the canonical
+    product-health panel. Trailing-window distinct users CANNOT be a
+    running window aggregate (COUNT DISTINCT doesn't decompose over
+    frames); the scalable shape is the contribution explode: each
+    (user, active day) row contributes to the ≤30 report days whose
+    trailing window contains it, then one distinct-count per report
+    day. Fan-out is a CONSTANT 30× on the user-day grain — which is
+    already tiny relative to raw events (the first distinct collapses
+    all of a user's events per day) — so the whole panel is two
+    bounded aggregations at any raw volume; report days beyond the
+    observed calendar are dropped by the inner join to observed days
+    (trailing windows stay honest at the series edge: early days
+    report partial windows by definition, the convention every
+    analytics store uses).
+
+    WAU filters the same contribution relation to a 6-day reach
+    instead of exploding twice — one explode serves both windows."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.col("d").alias("active_day"),
+        F.explode(
+            F.sequence(
+                "d",
+                F.col("d") + F.expr("INTERVAL 29 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    mau = contrib.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    wau = (
+        contrib.filter(
+            F.col("report_day")
+            <= F.col("active_day") + F.expr("INTERVAL 6 DAY")
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("report_day")).agg(
+        F.count("*").alias("dau")
+    )
+    out = (
+        days.join(dau, days.d == dau.report_day)
+        .drop("report_day")
+        .join(wau, days.d == wau.report_day)
+        .drop("report_day")
+        .join(mau, days.d == mau.report_day)
+        .drop("report_day")
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
