@@ -786,3 +786,74 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_n, ln_rk), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_n, ln_rk), 4).alias("r2"),
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+             AS novelty_rate
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty decay: for each document (in doc_id ingestion
+    order), the fraction of its distinct 3-gram shingles never seen in
+    any EARLIER document. A corpus whose novelty curve collapses early
+    is recycling content — the marginal-value signal behind "dedup
+    before you scale" decisions, and the per-document complement of
+    llm_source_overlap_matrix's source-level view.
+
+    The "seen earlier" relation needs no ordered scan: a gram is novel
+    in exactly the document that is its MINIMUM doc_id, so one
+    grams→min(doc_id) aggregation plus a join back replaces any
+    sequential pass — the trick that makes an inherently ordered-
+    looking metric embarrassingly parallel. Plan: in-row shingle
+    arrays, one explode + distinct, one min-aggregation, one join on
+    the gram key (fan-out = 1 after the distinct), one per-doc
+    rollup."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "j -> concat_ws(' ', t[j-1], t[j], t[j+1]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "gram")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(novel / F.count("*").cast("double"), 6).alias(
+            "novelty_rate"
+        ),
+    )

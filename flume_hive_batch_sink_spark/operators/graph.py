@@ -567,3 +567,57 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("aa_raw", 6).alias("adamic_adar"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT o_custkey AS c, {_S_OFFSET} + l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM p
+      UNION ALL
+      SELECT s AS src, c AS dst FROM p
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (
+      SELECT da.d AS dsrc, db.d AS ddst
+      FROM edges e
+      JOIN deg da ON e.src = da.node
+      JOIN deg db ON e.dst = db.node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           CAST(ROUND(corr(dsrc, ddst), 6) AS DOUBLE) AS assortativity
+    FROM ed
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected customer-
+    supplier graph: the Pearson correlation of endpoint degrees over
+    all directed edge instances. Positive = hubs attach to hubs
+    (social-network shape); negative = hubs attach to leaves (the
+    hub-and-spoke shape typical of bipartite commerce projections) —
+    a one-number structural fingerprint that decides whether
+    degree-capped algorithms (graph_common_neighbors' hub cap,
+    triangle sampling) will bite.
+
+    Plan: degrees are one aggregation; each edge picks up both
+    endpoint degrees via two joins on the degree table (broadcast at
+    fixture scale, co-partitioned shuffle joins on a 100 TB edge
+    list), then a single corr aggregate — co-moment accumulation over
+    exact integer degrees, rounded to 6 on both engines (the
+    agg_stats convention)."""
+    edges = _cs_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("dsrc"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("ddst"))
+    ed = edges.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    return ed.agg(
+        F.count("*").alias("n_directed_edges"),
+        F.round(F.corr("dsrc", "ddst"), 6).alias("assortativity"),
+    )

@@ -634,3 +634,75 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_date").alias("o_orderdate"),
         F.col("best_key").alias("o_orderkey"),
     )
+
+
+@query(
+    "win_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS dt,
+             CAST(ROUND(SUM(value), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, dt, v,
+             CASE WHEN count(*) OVER w = 7 THEN AVG(v) OVER w END AS ma,
+             CASE WHEN count(*) OVER w = 7 THEN stddev_samp(v) OVER w END
+               AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY dt
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(dt, '%Y-%m-%d') AS dt, v,
+           CAST(ROUND(ma, 4) AS DOUBLE) AS ma7,
+           CAST(ROUND(ma + 2 * sd, 4) AS DOUBLE) AS upper_band,
+           CAST(ROUND(ma - 2 * sd, 4) AS DOUBLE) AS lower_band,
+           CASE WHEN ma IS NULL THEN NULL
+                WHEN v > ma + 2 * sd THEN 'HIGH'
+                WHEN v < ma - 2 * sd THEN 'LOW'
+                ELSE 'IN' END AS breach
+    FROM b
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band monitor on the daily value series per event type:
+    trailing 7-day moving average ± 2 sample standard deviations, with
+    a HIGH/LOW/IN breach classification — the volatility-adaptive
+    alerting rule (a fixed threshold pages constantly on a volatile
+    series and never on a quiet one; ±2σ tracks each series' own
+    regime). Warm-up rows (fewer than 7 days of history) stay NULL
+    rather than alerting on an under-estimated σ.
+
+    Plan: the band math runs on the AGGREGATED (type, day) grain after
+    one map-side-combined rollup — trailing frames see ≤7 rows; the
+    window partitions by event_type (bounded state per task). The
+    breach comparison uses the UNROUNDED bands on both engines, with
+    rounding applied only to emitted values."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("DAY", "ts").alias("dt"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    full = F.count("*").over(w) == 7
+    ma = F.when(full, F.avg("v").over(w))
+    sd = F.when(full, F.stddev_samp("v").over(w))
+    b = daily.select("event_type", "dt", "v", ma.alias("ma"), sd.alias("sd"))
+    up, lo = F.col("ma") + 2 * F.col("sd"), F.col("ma") - 2 * F.col("sd")
+    return b.select(
+        "event_type",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "v",
+        F.round("ma", 4).alias("ma7"),
+        F.round(up, 4).alias("upper_band"),
+        F.round(lo, 4).alias("lower_band"),
+        F.when(F.col("ma").isNull(), F.lit(None).cast("string"))
+        .when(F.col("v") > up, "HIGH")
+        .when(F.col("v") < lo, "LOW")
+        .otherwise("IN")
+        .alias("breach"),
+    )
