@@ -698,3 +698,58 @@ def fn_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.base64(sb)).alias("b64_len"),
         F.length(F.hex(sb)).alias("hex_len"),
     )
+
+
+@query(
+    "fn_data_mask",
+    oracle="""
+    SELECT c_custkey,
+           concat('Customer#', repeat('*', len(c_name) - 13),
+                  substr(c_name, len(c_name) - 3, 4)) AS name_masked,
+           substr(md5('pseudo-v1:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+             AS pseudonym,
+           CAST(ROUND(FLOOR(c_acctbal / 1000) * 1000, 0) AS DOUBLE)
+             AS acctbal_bucket,
+           c_mktsegment,
+           md5('pseudo-v1:' || CAST(c_custkey AS VARCHAR))
+             = md5('pseudo-v1:' || CAST(c_custkey AS VARCHAR))
+             AS join_preserved
+    FROM customer
+    """,
+)
+def fn_data_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-production data masking — the transform every compliant
+    lower-environment copy runs: identifier names keep only their
+    last 4 characters (format-preserving star padding), the join key
+    is replaced by a SALTED deterministic pseudonym (same input →
+    same token, so referential integrity and join cardinalities
+    survive masking — the property that keeps masked data useful for
+    query testing), and the monetary balance generalizes to a
+    1000-unit bucket (k-anonymity-style coarsening) instead of
+    leaking exact values. Complements llm_pii_redact (free-text
+    scrubbing) with the STRUCTURED-column masking policy.
+
+    Everything is codegen string/arithmetic work in one projection —
+    no shuffle at all; masking 100 TB is exactly one map-side pass,
+    which is why masked copies are cheap to refresh nightly. The
+    salt versions the pseudonym space: rotating it re-keys every
+    environment copy at once."""
+    c = load(spark, sf_dir, "customer")
+    ln = F.length("c_name")
+    pseudo = F.md5(
+        F.concat(F.lit("pseudo-v1:"), F.col("c_custkey").cast("string"))
+    )
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("Customer#"),
+            F.repeat(F.lit("*"), (ln - 13).cast("int")),
+            F.expr("substr(c_name, length(c_name) - 3, 4)"),
+        ).alias("name_masked"),
+        F.substring(pseudo, 1, 12).alias("pseudonym"),
+        F.round(F.floor(F.col("c_acctbal") / 1000) * 1000, 0)
+        .cast("double")
+        .alias("acctbal_bucket"),
+        "c_mktsegment",
+        (pseudo == pseudo).alias("join_preserved"),
+    )
