@@ -753,3 +753,70 @@ def fn_data_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (pseudo == pseudo).alias("join_preserved"),
     )
+
+
+@query(
+    "fn_luhn_checksum",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey, c_mktsegment,
+             list_transform(
+               string_split_regex(reverse(CAST(c_custkey AS VARCHAR)), ''),
+               x -> CAST(x AS BIGINT)) AS digits
+      FROM customer
+    ),
+    s AS (
+      SELECT c_custkey, c_mktsegment,
+             list_sum(list_transform(range(1, len(digits) + 1),
+               i -> CASE WHEN i % 2 = 0
+                         THEN CASE WHEN digits[i] > 4
+                                   THEN 2 * digits[i] - 9
+                                   ELSE 2 * digits[i] END
+                         ELSE digits[i] END)) AS luhn_sum
+      FROM d
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_luhn_valid,
+           CAST(ROUND(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+             AS valid_rate
+    FROM s GROUP BY c_mktsegment
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check-digit validation (ISO/IEC 7812 — the card
+    and account-number checksum), run as a DQ screen over the
+    customer-key column: digits taken right-to-left, every second one
+    doubled with the 2d−9 digit-sum fold, valid iff the total ≡ 0
+    (mod 10). A payments feed whose valid-rate drops below ~100% is
+    shipping corrupted or truncated account numbers; on synthetic
+    sequential keys the expected rate is ~10% — the key's value here
+    is the bit-exact portable implementation of the fold.
+
+    Plan: the whole checksum is an in-row array fold (split → reverse
+    → positional transform → sum) inside codegen, then one small
+    grouped rollup — zero shuffles before the 5-key aggregate at any
+    scale."""
+    c = load(spark, sf_dir, "customer")
+    digits = F.expr(
+        "transform(split(reverse(CAST(c_custkey AS STRING)), ''), "
+        "x -> CAST(x AS BIGINT))"
+    )
+    luhn_sum = F.expr(
+        "aggregate(zip_with("
+        "  transform(split(reverse(CAST(c_custkey AS STRING)), ''), "
+        "            x -> CAST(x AS BIGINT)),"
+        "  sequence(1, length(CAST(c_custkey AS STRING))),"
+        "  (d, i) -> CASE WHEN i % 2 = 0 THEN "
+        "    CASE WHEN d > 4 THEN 2 * d - 9 ELSE 2 * d END ELSE d END),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    s = c.select("c_mktsegment", luhn_sum.alias("luhn_sum"))
+    valid = F.sum(F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0))
+    return s.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        valid.alias("n_luhn_valid"),
+        F.round(valid / F.count("*").cast("double"), 6).alias("valid_rate"),
+    )

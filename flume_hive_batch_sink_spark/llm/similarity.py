@@ -1635,3 +1635,85 @@ def llm_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+@query(
+    "llm_knn_eval",
+    oracle="""
+    WITH sims AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid, n.label,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+    ), topk AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM sims) WHERE rn <= 5
+    ), votes AS (
+      SELECT qid, label, count(*) AS c FROM topk GROUP BY qid, label
+    ), pred AS (
+      SELECT qid AS vec_id, CAST(label AS INT) AS pred_label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
+        FROM votes) WHERE rn = 1
+    ), joined AS (
+      SELECT e.label AS true_label, p.pred_label
+      FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(ROUND(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+             AS class_recall,
+           CAST(ROUND(SUM(SUM(CASE WHEN true_label = pred_label
+                                   THEN 1 ELSE 0 END)) OVER ()
+                      / CAST(SUM(count(*)) OVER () AS DOUBLE), 6) AS DOUBLE)
+             AS overall_accuracy
+    FROM joined GROUP BY true_label
+    """,
+)
+def llm_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out evaluation of the 5-NN labeler — the
+    embedding-quality certificate a labeling/curation pipeline checks
+    before trusting llm_knn_label's outputs at scale: per-class recall
+    and overall accuracy of predicting each vector's own label from
+    its neighbors. A class whose recall collapses means its embedding
+    cluster is entangled — the signal to retrain or to route that
+    class to human review.
+
+    Built ON the production operator (it calls llm_knn_label's plan,
+    blocked-GEMM candidates and all — evaluating a different code path
+    than you ship is how eval lies to you), then one join to truth and
+    one grouped aggregate; the overall accuracy is a window over the
+    |classes|-row result."""
+    from flume_hive_batch_sink_spark.registry import QUERIES
+
+    pred = QUERIES["llm_knn_label"](spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("true_label")
+    )
+    joined = pred.join(emb, "vec_id")
+    correct = F.sum(
+        F.when(F.col("true_label") == F.col("pred_label"), 1).otherwise(0)
+    )
+    per_class = joined.groupBy(
+        F.col("true_label").cast("long").alias("true_label")
+    ).agg(
+        F.count("*").alias("n"),
+        correct.alias("n_correct"),
+    )
+    w = Window.partitionBy()
+    return per_class.select(
+        "true_label",
+        "n",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n").cast("double"), 6).alias(
+            "class_recall"
+        ),
+        F.round(
+            F.sum("n_correct").over(w) / F.sum("n").over(w).cast("double"), 6
+        ).alias("overall_accuracy"),
+    )
