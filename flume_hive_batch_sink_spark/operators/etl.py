@@ -1604,3 +1604,98 @@ def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         age.cast("long").alias("age_days"),
     )
+
+
+@query(
+    "dq_ks_test",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp
+      FROM documents
+    ),
+    ns AS (
+      SELECT CAST(SUM(grp) AS DOUBLE) AS na,
+             CAST(SUM(1 - grp) AS DOUBLE) AS nb
+      FROM labeled
+    ),
+    per_x AS (
+      SELECT x, CAST(SUM(grp) AS BIGINT) AS ca,
+             CAST(SUM(1 - grp) AS BIGINT) AS cb
+      FROM labeled GROUP BY x
+    ),
+    cdf AS (
+      SELECT x,
+             SUM(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               / (SELECT na FROM ns) AS fa,
+             SUM(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               / (SELECT nb FROM ns) AS fb
+      FROM per_x
+    ),
+    stat AS (SELECT MAX(ABS(fa - fb)) AS d FROM cdf)
+    SELECT CAST((SELECT na FROM ns) AS BIGINT) AS n_en,
+           CAST((SELECT nb FROM ns) AS BIGINT) AS n_rest,
+           CAST(ROUND((SELECT d FROM stat), 6) AS DOUBLE) AS ks_stat,
+           CAST(ROUND(1.358 * sqrt(((SELECT na FROM ns)
+                                    + (SELECT nb FROM ns))
+                                   / ((SELECT na FROM ns)
+                                      * (SELECT nb FROM ns))), 6)
+                AS DOUBLE) AS critical_05,
+           (SELECT d FROM stat)
+             > 1.358 * sqrt(((SELECT na FROM ns) + (SELECT nb FROM ns))
+                            / ((SELECT na FROM ns) * (SELECT nb FROM ns)))
+             AS reject_same_dist
+    """,
+)
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: is the English documents'
+    length distribution the same as the rest of the corpus? D =
+    max |ECDF_en − ECDF_rest|, compared against the α = 0.05 critical
+    value 1.358·√((n_a+n_b)/(n_a·n_b)). The NONPARAMETRIC complement
+    to dq_psi_drift: PSI needs bins and a reference window; KS
+    compares whole distributions with no binning decisions — the
+    right first test when you suspect one slice of a feed was
+    generated differently.
+
+    The ECDFs never materialize per-row: the scan collapses to the
+    DISTINCT-VALUE grain first (counts per x per group — map-side
+    combined), then ONE ordered running-sum window over that
+    compressed grain computes both ECDFs and D. D is exact — the max
+    ECDF gap always occurs at an observed value. Sample sizes ride as
+    broadcast scalars. At 100 TB the value grain (not the row count)
+    bounds the window; for continuous doubles, pre-quantize to the
+    measurement precision first."""
+    d = load(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+    )
+    ns = labeled.agg(
+        F.sum("grp").cast("double").alias("na"),
+        F.sum(1 - F.col("grp")).cast("double").alias("nb"),
+    )
+    per_x = labeled.groupBy("x").agg(
+        F.sum("grp").alias("ca"), F.sum(1 - F.col("grp")).alias("cb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_x.join(F.broadcast(ns)).select(
+        (F.sum("ca").over(w) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    stat = cdf.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
+    )
+    return stat.select(
+        F.col("na").cast("long").alias("n_en"),
+        F.col("nb").cast("long").alias("n_rest"),
+        F.round("d", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("d") > crit).alias("reject_same_dist"),
+    )

@@ -857,3 +857,104 @@ def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n") == F.max("n").over(wd)).alias("is_peak_hour"),
     )
+
+
+@query(
+    "ts_stl_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT dt, n_events,
+             CASE WHEN count(*) OVER w = 7
+                  THEN AVG(n_events) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT dt, n_events, dayofweek(dt) AS dow,
+             n_events - trend AS detrended
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, AVG(detrended) AS seasonal FROM det
+      WHERE detrended IS NOT NULL GROUP BY dow
+    ),
+    resid AS (
+      SELECT d.dt, d.n_events, d.detrended - s.seasonal AS residual
+      FROM det d JOIN seas s ON d.dow = s.dow
+      WHERE d.detrended IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(residual, 0.5) AS m FROM resid),
+    mad AS (
+      SELECT quantile_cont(ABS(residual - (SELECT m FROM med)), 0.5) AS v
+      FROM resid
+    )
+    SELECT strftime(dt, '%Y-%m-%d') AS dt, n_events,
+           CAST(ROUND(residual, 6) AS DOUBLE) AS residual,
+           CAST(ROUND((residual - (SELECT m FROM med))
+                      / (1.4826 * (SELECT v FROM mad)), 6) AS DOUBLE)
+             AS robust_z,
+           ABS((residual - (SELECT m FROM med))
+               / (1.4826 * (SELECT v FROM mad))) > 3.0 AS is_anomaly
+    FROM resid
+    """,
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection — the standard production
+    composite: decompose the daily series (ts_seasonal_decompose's
+    trend + day-of-week seasonal), then flag days whose RESIDUAL sits
+    more than 3 robust z-units from the residual median, with MAD ×
+    1.4826 as the robust σ (dq_anomaly_mad's estimator). Detecting on
+    residuals instead of raw counts is the whole point: a busy Monday
+    is not an anomaly, a quiet Monday is.
+
+    Plan: everything after the one raw-scan aggregation runs on the
+    day grain; the median/MAD scalars are 1-row broadcast aggregates.
+    Edge days without a full trend window are excluded from scoring
+    (no residual) rather than scored against a biased trend."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", "ts").cast("date").alias("dt"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("dt").rowsBetween(-3, 3)
+    det = daily.select(
+        "dt",
+        "n_events",
+        (F.dayofweek("dt") - 1).alias("dow"),
+        (
+            F.col("n_events")
+            - F.when(F.count("*").over(w) == 7, F.avg("n_events").over(w))
+        ).alias("detrended"),
+    ).filter(F.col("detrended").isNotNull())
+    seas = det.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "dt",
+        "n_events",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )
+    med = resid.agg(F.percentile("residual", 0.5).alias("m"))
+    mad = (
+        resid.join(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("residual") - F.col("m")), 0.5).alias(
+                "v"
+            )
+        )
+    )
+    z = (F.col("residual") - F.col("m")) / (1.4826 * F.col("v"))
+    return (
+        resid.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "n_events",
+            F.round("residual", 6).alias("residual"),
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
