@@ -1009,3 +1009,105 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null_left BIGINT, n_null_right BIGINT, "
         "delta_is_null_cross BOOLEAN",
     )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             -60 + (c_custkey * 37 % 120) + (c_custkey % 100) / 100.0 AS lat,
+             -170 + (c_custkey * 53 % 340) + (c_custkey % 97) / 97.0 AS lon
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2)
+               * sin(radians(b.lon - a.lon) / 2) AS h
+      FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    )
+    SELECT cust_a, cust_b,
+           CAST(ROUND(12742.0 * asin(sqrt(h)), 2) AS DOUBLE) AS dist_km
+    FROM pairs
+    WHERE ROUND(6371.0 * 2 * asin(sqrt(h)), 9) < 100.0
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join (all customer pairs within 100 km) via
+    GRID BLOCKING — the spatial-join pattern that replaces the O(n²)
+    cross product: each point lands in one 1°×1° cell; the probe side
+    explodes into its 3×5 cell neighborhood (±1° lat covers 100 km
+    everywhere; ±2° lon covers it up to the fixture's |lat| ≤ 61°,
+    where 1° of longitude is ≥ 54 km) and equi-joins on the cell key,
+    so candidates are only near-cell pairs; exact haversine verifies.
+    Because each point OWNS exactly one cell and only the probe side
+    explodes, every candidate pair arises exactly once — no distinct
+    needed. This is the geohash/S2 pattern with the cell function laid
+    bare; coordinates are the same deterministic synthesis as
+    fn_geo_haversine (no geo columns ship in the fixture).
+
+    The oracle is the O(n²) formulation — the certified claim is that
+    blocking LOSES NOTHING within the radius. Scale: candidate count
+    tracks local point density × 15 cells instead of n²; skewed cells
+    (a city) are the known hotspot, handled like any skewed join key
+    (salt or AQE). Round-before-compare on the radius predicate, repo
+    convention."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (
+            -60
+            + (F.col("c_custkey") * 37 % 120)
+            + (F.col("c_custkey") % 100) / 100.0
+        ).alias("lat"),
+        (
+            -170
+            + (F.col("c_custkey") * 53 % 340)
+            + (F.col("c_custkey") % 97) / 97.0
+        ).alias("lon"),
+    )
+    owner = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.floor("lat").alias("cell_lat"),
+        F.floor("lon").alias("cell_lon"),
+    )
+    probe = pts.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dla -> "
+                "transform(sequence(-2, 2), dlo -> "
+                "struct(CAST(floor(lat) + dla AS BIGINT) AS cl, "
+                "CAST(floor(lon) + dlo AS BIGINT) AS co))))"
+            )
+        ).alias("cell"),
+    )
+    cand = probe.join(
+        owner,
+        (F.col("cell.cl") == F.col("cell_lat"))
+        & (F.col("cell.co") == F.col("cell_lon"))
+        & (F.col("cust_a") < F.col("cust_b")),
+    )
+    dlat2 = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon2 = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    h = (
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(F.radians("lat_a"))
+        * F.cos(F.radians("lat_b"))
+        * F.sin(dlon2)
+        * F.sin(dlon2)
+    )
+    scored = cand.withColumn("h", h)
+    return scored.filter(
+        F.round(F.lit(6371.0) * 2 * F.asin(F.sqrt("h")), 9) < 100.0
+    ).select(
+        "cust_a",
+        "cust_b",
+        F.round(F.lit(12742.0) * F.asin(F.sqrt("h")), 2).alias("dist_km"),
+    )
