@@ -1175,3 +1175,70 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.least(F.greatest(x, F.col("p10")), F.col("p90"))), 4
         ).alias("mean_winsorized"),
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment,
+             l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, l.l_suppkey
+    ),
+    tot AS (
+      SELECT c_mktsegment, SUM(rev) AS seg_rev FROM seg GROUP BY c_mktsegment
+    )
+    SELECT s.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(ROUND(SUM(POW(10000.0 * s.rev / t.seg_rev, 2)) / 10000.0, 4)
+                AS DOUBLE) AS hhi,
+           SUM(POW(10000.0 * s.rev / t.seg_rev, 2)) / 10000.0 > 2500.0
+             AS concentrated
+    FROM seg s JOIN tot t ON s.c_mktsegment = t.c_mktsegment
+    GROUP BY s.c_mktsegment
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    the sum of squared supplier market shares (in percentage points,
+    the antitrust convention — 10,000 = monopoly, > 2,500 =
+    highly concentrated). The CONCENTRATION complement to
+    agg_gini_spend's inequality: procurement risk dashboards watch HHI
+    to flag segments hostage to one supplier.
+
+    Share numerators accumulate as DECIMAL (exact — the revenue-bridge
+    discipline), and each segment's shares divide by a 1-row-per-
+    segment total joined back in, so the only float work is the final
+    square-and-sum over exact ratios of exact decimals — identical
+    division sequences on both engines, rounded at emission. Plan:
+    star join with broadcast dims, two grouped aggregations on
+    (segment, supplier) then (segment) — map-side combined, no
+    windows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    tot = seg.groupBy(F.col("c_mktsegment").alias("seg2")).agg(
+        F.sum("rev").alias("seg_rev")
+    )
+    j = seg.join(F.broadcast(tot), seg.c_mktsegment == tot.seg2)
+    share_pp = F.lit(10000.0) * (F.col("rev") / F.col("seg_rev"))
+    hhi = F.sum(F.pow(share_pp, 2)) / 10000.0
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(hhi, 4).alias("hhi"),
+        (hhi > 2500.0).alias("concentrated"),
+    )

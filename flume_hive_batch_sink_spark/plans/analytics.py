@@ -1662,3 +1662,120 @@ def pipeline_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@query(
+    "pipeline_abc_xyz",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+             SUM(CAST(l_quantity AS DECIMAL(18,0))) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(AVG(CAST(q AS DOUBLE)) AS DOUBLE) AS mu,
+             CAST(stddev_samp(CAST(q AS DOUBLE)) AS DOUBLE) AS sd
+      FROM wk GROUP BY l_partkey
+    ),
+    val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev) AS t FROM val),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM val
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(cum_rev AS DOUBLE)
+                       / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.8 THEN 'A'
+                  WHEN CAST(cum_rev AS DOUBLE)
+                       / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    cls AS (
+      SELECT a.l_partkey, a.abc_class,
+             CASE WHEN x.n_weeks < 2
+                       OR ROUND(x.sd / x.mu, 9) >= 1.0 THEN 'Z'
+                  WHEN ROUND(x.sd / x.mu, 9) < 0.5 THEN 'X'
+                  ELSE 'Y' END AS xyz_class
+      FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls GROUP BY abc_class, xyz_class
+    """,
+)
+def pipeline_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification — the supply-chain planning
+    matrix: ABC slices parts by cumulative revenue share (A = the
+    first 80%, B = to 95%, C = tail; agg_abc_pareto's construction)
+    and XYZ by demand variability (coefficient of variation of weekly
+    shipped quantity: X < 0.5 steady, Y intermediate, Z ≥ 1.0 or
+    too-short history = erratic). The 9-cell count matrix drives
+    stocking policy: AX = automate replenishment, CZ = make-to-order.
+
+    Exactness: revenue and quantity sums accumulate as DECIMAL; the
+    CV uses double mean/stddev over ≤ #weeks values per part
+    (bounded), with the n_weeks < 2 guard routing undefined CVs to Z
+    on both engines rather than dividing by a NULL stddev. Plan: two
+    part-grain aggregations off one scan, a global revenue-ranked
+    running sum over the PART grain (|parts| rows — the same bounded
+    global window as agg_abc_pareto, approx cut points at 100 TB),
+    one join, one 9-key rollup."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("WEEK", "l_shipdate").alias("w")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,0)")).alias("q"))
+    xyz = wk.groupBy("l_partkey").agg(
+        F.count("*").alias("n_weeks"),
+        F.avg(F.col("q").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("q").cast("double")).alias("sd"),
+    )
+    val = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = val.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy(F.col("rev").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = val.withColumn("cum_rev", F.sum("rev").over(w))
+    abc = ranked.join(F.broadcast(tot)).select(
+        F.col("pk").alias("l_partkey"),
+        F.when(
+            F.col("cum_rev").cast("double") / F.col("t").cast("double")
+            <= 0.8,
+            "A",
+        )
+        .when(
+            F.col("cum_rev").cast("double") / F.col("t").cast("double")
+            <= 0.95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    # round-before-compare (repo convention): stddev_samp's partial-
+    # aggregation order shifts sd at the last ulp between runs, which
+    # flips a class for a part sitting exactly on the 0.5/1.0 CV
+    # boundary — caught as run-order-dependent sf1 flakiness.
+    cv = F.round(F.col("sd") / F.col("mu"), 9)
+    cls = abc.join(xyz, "l_partkey").select(
+        "abc_class",
+        F.when((F.col("n_weeks") < 2) | (cv >= 1.0), "Z")
+        .when(cv < 0.5, "X")
+        .otherwise("Y")
+        .alias("xyz_class"),
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").alias("n_parts")
+    )

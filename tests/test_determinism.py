@@ -144,6 +144,11 @@ RISKY = [
     "llm_lsh_band_pr",
     "llm_epoch_shuffle",
     "llm_incremental_dedup",
+    "pipeline_abc_xyz",
+    "agg_hhi_concentration",
+    "join_spatial_grid",
+    "ts_stl_anomaly",
+    "dq_ks_test",
 ]
 
 
