@@ -1196,8 +1196,8 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_suppliers,
            CAST(ROUND(SUM(POW(10000.0 * s.rev / t.seg_rev, 2)) / 10000.0, 4)
                 AS DOUBLE) AS hhi,
-           SUM(POW(10000.0 * s.rev / t.seg_rev, 2)) / 10000.0 > 2500.0
-             AS concentrated
+           ROUND(SUM(POW(10000.0 * s.rev / t.seg_rev, 2)) / 10000.0, 4)
+             > 2500.0 AS concentrated
     FROM seg s JOIN tot t ON s.c_mktsegment = t.c_mktsegment
     GROUP BY s.c_mktsegment
     """,
@@ -1237,8 +1237,11 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = seg.join(F.broadcast(tot), seg.c_mktsegment == tot.seg2)
     share_pp = F.lit(10000.0) * (F.col("rev") / F.col("seg_rev"))
     hhi = F.sum(F.pow(share_pp, 2)) / 10000.0
+    # round-before-compare: the share-square SUM accumulates in
+    # shuffle order, so the unrounded flag would be run-order-dependent
+    # at the threshold (the pipeline_abc_xyz lesson).
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_suppliers"),
         F.round(hhi, 4).alias("hhi"),
-        (hhi > 2500.0).alias("concentrated"),
+        (F.round(hhi, 4) > 2500.0).alias("concentrated"),
     )
