@@ -544,3 +544,85 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(cap)).filter(
         F.col("rk") <= F.col("c")
     ).select("doc_id", "lang", "rk")
+
+
+@query(
+    "sample_group_holdout",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('holdout-v1:' || CAST(user_id AS VARCHAR)),
+                              1, 1) IN ('0','1','2')
+                  THEN 'test' ELSE 'train' END AS split
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    ev AS (
+      SELECT a.split, e.user_id, e.event_id
+      FROM events e JOIN assigned a ON e.user_id = a.user_id
+    ),
+    leak AS (
+      SELECT count(*) AS n FROM (
+        SELECT user_id FROM ev GROUP BY user_id
+        HAVING count(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((SELECT n FROM leak) AS BIGINT) AS n_leaked_users
+    FROM ev GROUP BY split
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level holdout split: every event of a user lands in the
+    same split (test ≈ 3/16 by hash nibble), because row-level
+    splitting of correlated data (split_train_test's granularity)
+    leaks — a model evaluated on events of users it trained on scores
+    optimistically. The split is content-addressed on the GROUP key
+    (salted md5 of user_id), so membership survives repartitioning,
+    backfills, and incremental appends; the certificate column proves
+    zero users straddle splits BY CONSTRUCTION (the leak count is
+    computed, not assumed).
+
+    Plan: one distinct on the group key, the assignment broadcast back
+    onto the event stream (users ≪ events), per-split rollups with
+    map-side combine. The same shape handles any grouping unit —
+    document, session, conversation — at any scale."""
+    ev = load(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("holdout-v1:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin("0", "1", "2"),
+                "test",
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    j = ev.select("user_id", "event_id").join(F.broadcast(assigned), "user_id")
+    leak = (
+        j.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaked_users"))
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .join(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "n_leaked_users")
+    )

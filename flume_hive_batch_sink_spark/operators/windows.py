@@ -706,3 +706,54 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("IN")
         .alias("breach"),
     )
+
+
+@query(
+    "win_yoy_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(lag(rev) OVER w AS DOUBLE) AS revenue_prev_year,
+           CAST(ROUND(CAST(rev - lag(rev) OVER w AS DOUBLE)
+                      / CAST(lag(rev) OVER w AS DOUBLE), 6) AS DOUBLE)
+             AS yoy_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY mo ORDER BY yr)
+    """,
+)
+def win_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI companion to
+    win_wow_change at the annual-seasonality grain: each (year, month)
+    cell compares against the SAME month one year earlier (partition
+    by month, lag by year), which is the alignment that makes December
+    comparable to December instead of to November. First observed year
+    stays NULL. Revenue accumulates as DECIMAL (exact; the
+    revenue-bridge discipline) so the lag and ratio are computed from
+    bit-identical numerators on both engines.
+
+    Plan: one map-side-combined aggregation onto the (year, month)
+    grain — at most 12 partitions × #years rows — then a per-month
+    window over that tiny relation; raw order volume touches exactly
+    one scan."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("revenue_prev_year"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_change"),
+    )

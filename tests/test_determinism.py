@@ -149,6 +149,7 @@ RISKY = [
     "join_spatial_grid",
     "ts_stl_anomaly",
     "dq_ks_test",
+    "sample_group_holdout",
 ]
 
 
