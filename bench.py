@@ -24,6 +24,11 @@ baseline is fixed by the driver), so the per-query ``spread`` field is
 published instead: when ``rel_spread`` is small the median ≈ any single
 warm run and the comparison is fair; when it is large, treat the gap as
 machine noise, not a plan difference.
+
+Idle-recheck (default on): any query whose first-round rel_spread
+exceeds 0.5 is re-measured after a 3 s cooldown; both rounds are
+published under ``spread[q]["recheck"]`` and the reported timing is the
+median of the combined samples. SPARK_GRAFT_IDLE_CHECK=0 disables.
 """
 
 from __future__ import annotations
@@ -136,6 +141,40 @@ def run_spark_bench(sf_dir: str) -> dict:
             "rel_spread": round((max(samples) - min(samples)) / med, 3) if med else 0.0,
             "n": reps,
         }
+        # Idle-recheck (on by default; SPARK_GRAFT_IDLE_CHECK=0 disables):
+        # a rel_spread > 0.5 means some samples caught scheduler noise —
+        # twice now (r02 join3 3.5x, r06 join3 2.11x) a single noisy
+        # window put a >2x headline in the official artifact that a
+        # controlled rerun contradicted. Cool down, re-measure, publish
+        # BOTH rounds, and report the median of the COMBINED samples —
+        # a location estimate that uses every observation instead of
+        # letting one noisy window pick the number.
+        if (
+            spread[name]["rel_spread"] > 0.5
+            and os.environ.get("SPARK_GRAFT_IDLE_CHECK", "1") != "0"
+        ):
+            time.sleep(3.0)  # cooldown: let other tenants' bursts drain
+            df.toPandas()  # re-warm once
+            resamples: list[float] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.toPandas()
+                resamples.append(time.perf_counter() - t0)
+            med2 = statistics.median(resamples)
+            combined = samples + resamples
+            timings[name] = round(statistics.median(combined), 4)
+            spread[name]["recheck"] = {
+                "min": round(min(resamples), 4),
+                "max": round(max(resamples), 4),
+                "median": round(med2, 4),
+                "rel_spread": round((max(resamples) - min(resamples)) / med2, 3)
+                if med2
+                else 0.0,
+                "n": reps,
+            }
+            spread[name]["combined_rel_spread"] = round(
+                (max(combined) - min(combined)) / timings[name], 3
+            )
 
     total = round(sum(timings.values()), 4)
     return {
