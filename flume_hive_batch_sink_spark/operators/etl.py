@@ -1606,11 +1606,22 @@ def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_quantize(x, q: int):
+    """Snap ``x`` to the floor of its width-``q`` cell (``x − x % q``):
+    the value-quantization step that bounds a KS test's distinct-value
+    grain by construction. Integer arithmetic only — no float division,
+    so Spark and any SQL oracle agree bit-for-bit. ``q=1`` (or None)
+    is the identity, the right default for already-discrete columns."""
+    if not q or q == 1:
+        return x
+    return x - x % F.lit(q)
+
+
 @query(
     "dq_ks_test",
     oracle="""
     WITH labeled AS (
-      SELECT n_chars AS x,
+      SELECT n_chars - (n_chars % 16) AS x,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp
       FROM documents
     ),
@@ -1647,7 +1658,9 @@ def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS reject_same_dist
     """,
 )
-def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_ks_test(
+    spark: SparkSession, sf_dir: str, quantize: int = 16
+) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test: is the English documents'
     length distribution the same as the rest of the corpus? D =
     max |ECDF_en − ECDF_rest|, compared against the α = 0.05 critical
@@ -1660,14 +1673,24 @@ def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ECDFs never materialize per-row: the scan collapses to the
     DISTINCT-VALUE grain first (counts per x per group — map-side
     combined), then ONE ordered running-sum window over that
-    compressed grain computes both ECDFs and D. D is exact — the max
-    ECDF gap always occurs at an observed value. Sample sizes ride as
-    broadcast scalars. At 100 TB the value grain (not the row count)
-    bounds the window; for continuous doubles, pre-quantize to the
-    measurement precision first."""
+    compressed grain computes both ECDFs and D. Sample sizes ride as
+    broadcast scalars.
+
+    The grain entering that window is bounded BY CONSTRUCTION, not by
+    advice: ``quantize`` snaps each value to its cell floor
+    (``x − x % q`` — pure integer arithmetic, bit-identical across
+    engines) before the distinct-value collapse, so the window input
+    is at most range/q rows regardless of corpus size. D is then the
+    exact KS statistic OF THE QUANTIZED DATA (the max gap still
+    occurs at an observed cell edge); it differs from the raw-data D
+    by at most the largest per-cell probability mass. ``quantize=1``
+    is the identity — exact D for already-discrete columns whose
+    grain is known small; continuous doubles should scale to the
+    measurement precision first and quantize from there. The
+    registered key runs q=16 over n_chars, mirrored in the oracle."""
     d = load(spark, sf_dir, "documents")
     labeled = d.select(
-        F.col("n_chars").alias("x"),
+        ks_quantize(F.col("n_chars"), quantize).alias("x"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
     )
     ns = labeled.agg(

@@ -606,3 +606,29 @@ def test_sweepline_peak_equals_bruteforce(spark, iv):
         .collect()[0][0]
     )
     assert got == brute
+
+
+grain_vals = st.lists(
+    st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60
+)
+
+
+@given(xs=grain_vals, q=st.sampled_from([1, 4, 16, 256]))
+@SETTINGS
+def test_ks_quantize_bounds_grain(spark, xs, q):
+    """ks_quantize must bound the distinct-value grain by construction
+    (≤ range/q + 1 cells), preserve every row, and be the identity at
+    q=1 — the property that makes dq_ks_test's ECDF window safe at any
+    corpus size."""
+    from flume_hive_batch_sink_spark.operators.etl import ks_quantize
+
+    df = spark.createDataFrame([(x,) for x in xs], "x BIGINT")
+    qdf = df.select(ks_quantize(F.col("x"), q).alias("x"))
+    assert qdf.count() == len(xs)  # no rows dropped by quantization
+    grain = qdf.distinct().count()
+    assert grain <= (max(xs) - min(xs)) // q + 1
+    if q == 1:
+        assert sorted(r.x for r in qdf.collect()) == sorted(xs)
+    else:
+        # every value snaps to its own cell floor
+        assert all(r.x % q == 0 for r in qdf.collect())
