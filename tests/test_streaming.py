@@ -243,3 +243,137 @@ def test_text_ingest_hive_crash_recovery(spark):
         (str(k[0]), int(k[1])): v for k, v in want.items()
     }
     shutil.rmtree(base, ignore_errors=True)
+
+
+RUNNER = r'''
+import sys
+
+from pyspark.sql import SparkSession
+
+src, out, chk, cpus = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    .getOrCreate()
+)
+sys.path.insert(0, "/root/repo")
+from flume_hive_batch_sink_spark.streaming import sink
+
+schema = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE"
+)
+s = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+    .dropDuplicates(["event_id"])
+)
+q = (
+    s.writeStream.foreachBatch(lambda df, eid: sink.write_epoch(df, eid, out))
+    .option("checkpointLocation", chk)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+print("SOAK_DONE", flush=True)
+'''
+
+
+def test_rocksdb_soak_kill9_recovery(spark):
+    """50-micro-batch soak on the RocksDB state store with a kill -9
+    mid-run: a SEPARATE driver process streams 50 one-file micro-batches
+    through a STATEFUL dropDuplicates (each chunk re-ships ~25 rows of
+    the previous chunk, so the dedup state is load-bearing ACROSS
+    batches and across the crash) into the epoch-keyed hive sink. The
+    process is SIGKILLed once ≥12 epochs have landed — no shutdown
+    hooks, the hard-crash case — then restarted on the same checkpoint.
+    End state must equal the batch twin exactly: every event once,
+    nothing lost, nothing doubled. Also asserts RocksDB actually held
+    the state (zip snapshots in the checkpoint's state dir), so the
+    conf can never silently fall back to the HDFS provider."""
+    import glob
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load(spark, sf_dir, "events")
+    pdf = (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    base = tempfile.mkdtemp(prefix="rocksdb_soak_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "tbl")
+    chk = os.path.join(base, "chk")
+    runner = os.path.join(base, "runner.py")
+    os.makedirs(src)
+    with open(runner, "w") as f:
+        f.write(RUNNER)
+
+    n_batches = 50
+    chunks = [
+        pdf.iloc[i * len(pdf) // n_batches : (i + 1) * len(pdf) // n_batches]
+        for i in range(n_batches)
+    ]
+    now = time.time()
+    import pandas as pd
+
+    for i, chunk in enumerate(chunks):
+        dup_tail = chunks[i - 1].tail(25) if i else chunk.iloc[0:0]
+        staged = pd.concat([dup_tail, chunk])
+        p = os.path.join(src, f"chunk_{i:03d}.parquet")
+        staged.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    cmd = [sys.executable, runner, src, out, chk, "4"]
+
+    def n_epochs() -> int:
+        return len(glob.glob(os.path.join(out, "epoch=*")))
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd="/root/repo"
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and n_epochs() < 12:
+        if proc.poll() is not None:
+            break
+        time.sleep(0.25)
+    assert proc.poll() is None, "soak run finished before the kill point"
+    assert n_epochs() >= 12
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    done = subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600
+    )
+    assert "SOAK_DONE" in done.stdout, done.stdout[-2000:]
+    assert n_epochs() >= n_batches - 12, "restart must drain every staged file"
+
+    # RocksDB provider really held the state: zip snapshots on disk
+    zips = glob.glob(os.path.join(chk, "state", "**", "*.zip"), recursive=True)
+    assert zips, "no RocksDB snapshots found — provider conf not applied"
+
+    table = sink.read_sink_table(spark, out)
+    assert table.count() == len(pdf), "exactly-once: every event exactly once"
+    assert table.select("event_id").distinct().count() == len(pdf)
+    got = table.agg(
+        F.sum("event_id").alias("s"), F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert (int(got["s"]), got["lo"], got["hi"]) == (
+        int(pdf["event_id"].sum()), pdf["event_id"].min(), pdf["event_id"].max()
+    )
+    shutil.rmtree(base, ignore_errors=True)
