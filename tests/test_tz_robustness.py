@@ -55,11 +55,11 @@ print("ALL-TZOK", flush=True)
 """
 
 
-def test_calendar_keys_survive_hostile_process_tz():
+def _run_hostile_tz(keys: list[str]) -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
     env = dict(os.environ, TZ="Asia/Shanghai")
     script = _DRIVER.format(
-        repo=REPO, tests=os.path.join(REPO, "tests"), keys=TZ_SENSITIVE, sf=sf
+        repo=REPO, tests=os.path.join(REPO, "tests"), keys=keys, sf=sf
     )
     proc = subprocess.run(
         [sys.executable, "-c", script],
@@ -67,9 +67,41 @@ def test_calendar_keys_survive_hostile_process_tz():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=2400,
     )
     assert "ALL-TZOK" in proc.stdout, (
         f"hostile-TZ run failed:\nstdout tail: {proc.stdout[-2000:]}\n"
         f"stderr tail: {proc.stderr[-2000:]}"
     )
+
+
+def test_calendar_keys_survive_hostile_process_tz():
+    _run_hostile_tz(TZ_SENSITIVE)
+
+
+def test_sampled_registry_survives_hostile_process_tz():
+    """Rotating hostile-TZ sweep over the WHOLE registry, not just the
+    curated calendar list: the collect-relit bug class (a value
+    round-tripping through a driver-side datetime) can enter through
+    ANY key, so every key gets this gate on a 3-round rotation —
+    ``md5(key) % 3 == round_idx % 3`` picks ~1/3 of the registry, and
+    ``round_idx`` (the count of driver BENCH_r*.json artifacts)
+    advances each round, so three consecutive rounds cover everything.
+    One subprocess, one session; ~100 keys ≈ a few minutes."""
+    import glob
+    import hashlib
+
+    sys.path.insert(0, REPO)
+    from flume_hive_batch_sink_spark import registry
+    from flume_hive_batch_sink_spark.registry import load_all_operators
+
+    load_all_operators()
+    round_idx = len(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    keys = sorted(
+        k
+        for k in registry.QUERIES
+        if k in registry.ORACLES
+        and int(hashlib.md5(k.encode()).hexdigest(), 16) % 3 == round_idx % 3
+    )
+    assert keys, "sampling schedule selected no keys"
+    _run_hostile_tz(keys)
