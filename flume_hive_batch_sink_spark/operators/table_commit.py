@@ -24,12 +24,21 @@ every reader — still points at the old version
 At 100 TB this is exactly the Iceberg/Delta commit shape reduced to
 its kernel: O(changed files) data write, O(1) metadata swap, retained
 old versions give snapshot-isolated readers and time travel until a
-vacuum drops them. The manifest carries the file list, so readers
-never depend on directory listing races.
+vacuum drops them. The manifest carries the file list and readers are
+pinned to it (never a directory listing), and the publish step is a
+COMPARE-and-swap: an exclusive flock + version re-read serializes
+same-host writers, so two committers that both staged v=N resolve to
+one winner and one ConcurrentCommitError — the optimistic-concurrency
+conflict every table-format catalog surfaces, never a silent lost
+update. Cross-HOST coordination is out of scope by design: that is the
+catalog's CAS (Iceberg metastore/REST, Delta LogStore) — this module is
+the single-filesystem kernel those protocols wrap.
 """
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
@@ -37,6 +46,31 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_current"
+_LOCK = "_commit.lock"
+_FILES = "_files.json"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's stage and publish.
+
+    The loser's staged directory is intact but unpublished; the correct
+    response is to re-read the table, re-stage against the new committed
+    state, and retry — the optimistic-concurrency loop every
+    log-structured table format (Iceberg, Delta) runs on commit
+    conflict."""
+
+
+@contextlib.contextmanager
+def _commit_lock(root: str):
+    """Serialize publishers on one host: an exclusive flock held across
+    the read-check-swap. The kernel releases the lock when the holder
+    dies, so a crashed committer can never wedge the table (the failure
+    mode an O_EXCL claim file would have). Cross-host writers need a
+    catalog CAS (what Iceberg's metastore/REST catalog provides) — this
+    module is the single-filesystem kernel of that protocol."""
+    with open(os.path.join(root, _LOCK), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        yield
 
 
 def _manifest_path(root: str) -> str:
@@ -74,17 +108,27 @@ def stage_version(df: DataFrame, root: str) -> tuple[int, str]:
 
 
 def publish_version(root: str, version: int) -> None:
-    """Step 2 of a commit: atomically swap the manifest to ``version``.
+    """Step 2 of a commit: compare-and-swap the manifest to ``version``.
 
-    Written to a temp file in the same directory then ``os.replace``d —
-    readers either resolve the old manifest or the new one, never a
-    torn write. The file list is enumerated from the fully-written
-    staging dir so readers never depend on listing the directory."""
+    The swap itself is an ``os.replace`` of a fsynced temp file (readers
+    resolve the old manifest or the new one, never a torn write), and it
+    runs under the commit flock with a re-read of the committed version:
+    publishing v=N requires the table to still be at N-1. Two writers
+    that both staged v=N therefore serialize — the first wins, the
+    second raises ConcurrentCommitError instead of silently discarding
+    the winner's data (the lost-update the round-6 review flagged).
+
+    The file list is enumerated from the fully-written staging dir and
+    recorded twice: in the manifest (current-version readers) and as
+    ``_files.json`` inside the version dir (time-travel readers), so no
+    reader ever depends on a directory-listing race."""
     data_dir = _version_dir(root, version)
     files = sorted(
         f for f in os.listdir(data_dir)
         if f.endswith(".parquet") or f.startswith("part-")
     )
+    with open(os.path.join(data_dir, _FILES), "w", encoding="utf-8") as f:
+        json.dump(files, f)
     manifest = {
         "version": version,
         "path": os.path.basename(data_dir),
@@ -97,7 +141,15 @@ def publish_version(root: str, version: int) -> None:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, _manifest_path(root))
+        with _commit_lock(root):
+            cur = current_version(root) or 0
+            if cur != version - 1:
+                raise ConcurrentCommitError(
+                    f"cannot publish v={version}: table at v={cur}, "
+                    f"expected v={version - 1} — another writer committed "
+                    "first; re-stage against the new state and retry"
+                )
+            os.replace(tmp, _manifest_path(root))
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -116,11 +168,36 @@ def read_table(
     """Read the committed table state (or a retained older ``version`` —
     time travel). Resolves the manifest FIRST, then pins that version's
     directory: a commit racing this read flips the whole result to one
-    side of the swap, never a mix."""
+    side of the swap, never a mix.
+
+    Reads are pinned to the MANIFEST'S FILE LIST, not the directory: a
+    retried stage that overwrites ``v=N`` under a reader, or any stray
+    file landing in the version dir, cannot widen or tear the read —
+    the reader touches exactly the files the commit recorded. Current
+    reads take the list from ``_current``; time-travel reads take it
+    from the version dir's ``_files.json`` (written at publish).
+    Versions committed before that file existed fall back to the
+    directory read (immutable once superseded, so still safe)."""
     pinned = version if version is not None else current_version(root)
     if pinned is None:
         raise FileNotFoundError(f"no committed version at {root}")
-    return spark.read.parquet(_version_dir(root, pinned))
+    data_dir = _version_dir(root, pinned)
+    files: list[str] | None = None
+    try:
+        manifest = _read_manifest(root)
+        if manifest.get("version") == pinned and manifest.get("files"):
+            files = manifest["files"]
+    except (OSError, ValueError):
+        pass
+    if files is None:
+        try:
+            with open(os.path.join(data_dir, _FILES), encoding="utf-8") as f:
+                files = json.load(f)
+        except (OSError, ValueError):
+            files = None
+    if files:
+        return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+    return spark.read.parquet(data_dir)
 
 
 def merge_commit(
@@ -198,19 +275,40 @@ def stage_snapshot(dfs: dict[str, DataFrame], root: str) -> dict:
 
 
 def publish_snapshot(root: str, staged: dict) -> None:
-    """Atomically publish a staged snapshot: one os.replace covers every
-    table — readers see all tables at the old tx or all at the new,
-    never a mix."""
+    """Compare-and-swap publish of a staged snapshot: one os.replace
+    covers every table — readers see all tables at the old tx or all at
+    the new, never a mix. Runs under the commit flock with a re-read:
+    publishing tx=T requires the snapshot root to still be at T-1, so
+    two writers that both staged T serialize and the loser raises
+    ConcurrentCommitError instead of silently orphaning the winner's
+    committed tables. Per-table file lists are recorded in the manifest
+    so snapshot readers are pinned to committed files, not listings."""
     import time as _time
 
-    staged = dict(staged, committed_at=_time.time())
+    files = {
+        name: sorted(
+            f
+            for f in os.listdir(os.path.join(root, name, f"v={v}"))
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        for name, v in staged["tables"].items()
+    }
+    staged = dict(staged, files=files, committed_at=_time.time())
     fd, tmp = tempfile.mkstemp(prefix="_tx_", dir=root)
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump(staged, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(root, _SNAP_MANIFEST))
+        with _commit_lock(root):
+            cur = current_tx(root) or {"tx": 0}
+            if cur["tx"] != staged["tx"] - 1:
+                raise ConcurrentCommitError(
+                    f"cannot publish tx={staged['tx']}: snapshot at "
+                    f"tx={cur['tx']}, expected tx={staged['tx'] - 1} — "
+                    "another writer committed first; re-stage and retry"
+                )
+            os.replace(tmp, os.path.join(root, _SNAP_MANIFEST))
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -239,7 +337,11 @@ def read_snapshot(
     if manifest is None or table not in manifest["tables"]:
         raise FileNotFoundError(f"no committed version of {table} at {root}")
     version = manifest["tables"][table]
-    return spark.read.parquet(os.path.join(root, table, f"v={version}"))
+    data_dir = os.path.join(root, table, f"v={version}")
+    files = (manifest.get("files") or {}).get(table)
+    if files:
+        return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+    return spark.read.parquet(data_dir)
 
 
 def vacuum(root: str, keep: int = 2) -> list[int]:
@@ -267,6 +369,7 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
 
 
 __all__ = [
+    "ConcurrentCommitError",
     "commit_snapshot",
     "commit_version",
     "current_tx",

@@ -201,3 +201,73 @@ def test_multi_table_crash_keeps_join_graph_consistent(spark, root, purchases):
     )
     if new_users:
         assert mixed_orphans > 0, "fixture lost its new-user tail"
+
+
+def test_concurrent_publish_loses_cleanly(spark, root, purchases):
+    """Two writers race the same next version: both stage v=2, exactly
+    one publish wins, the loser raises ConcurrentCommitError and the
+    winner's rows are what readers see — never a silent lost update."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+
+    # writer A and writer B both read v=1 and stage v=2
+    a_version, _ = tc.stage_version(base.limit(10), root)
+    # B overwrites the same staged dir content with ITS rows (same
+    # version number — the race the CAS exists for); stage again after
+    # A's publish would be the correct retry path
+    assert a_version == 2
+    tc.publish_version(root, 2)  # A wins
+
+    with pytest.raises(tc.ConcurrentCommitError):
+        tc.publish_version(root, 2)  # B's publish of the same version
+
+    assert tc.current_version(root) == 2
+    assert tc.read_table(spark, root).count() == 10
+
+    # B retries correctly: re-stage against the new state
+    v3, _ = tc.stage_version(updates, root)
+    assert v3 == 3
+    tc.publish_version(root, 3)
+    assert tc.read_table(spark, root).count() == updates.count()
+
+
+def test_snapshot_concurrent_publish_loses_cleanly(spark, root, purchases):
+    base, updates = _split(purchases)
+    staged_a = tc.stage_snapshot({"fact": base}, root)
+    staged_b = tc.stage_snapshot({"fact": updates}, root)  # same tx=1
+    assert staged_a["tx"] == staged_b["tx"] == 1
+    tc.publish_snapshot(root, staged_b)  # B wins this time
+    with pytest.raises(tc.ConcurrentCommitError):
+        tc.publish_snapshot(root, staged_a)
+    got = tc.read_snapshot(spark, root, "fact")
+    assert got.count() == updates.count()
+
+
+def test_reader_pinned_to_manifest_files(spark, root, purchases):
+    """A stray parquet file landing in the committed version dir after
+    publish must be INVISIBLE: readers touch exactly the files the
+    commit recorded, both for the current version and for a time-travel
+    read after a later commit."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+    n = base.count()
+
+    # alien file dropped into v=1 (a retried stage, a copy-paste, a
+    # half-dead writer — anything)
+    alien = base.limit(7)
+    alien_dir = os.path.join(root, "alien_stage")
+    alien.coalesce(1).write.parquet(alien_dir)
+    part = next(
+        f for f in os.listdir(alien_dir) if f.startswith("part-")
+    )
+    shutil.copy(
+        os.path.join(alien_dir, part),
+        os.path.join(root, "v=1", "part-zzz-alien.parquet"),
+    )
+
+    assert tc.read_table(spark, root).count() == n, "current read widened"
+
+    tc.commit_version(updates, root)  # v=2 becomes current
+    assert (
+        tc.read_table(spark, root, version=1).count() == n
+    ), "time-travel read widened by alien file"
