@@ -397,7 +397,7 @@ def register_catalog_partitions(
 
     tbl = "evcat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = ms.create_external_partitioned_table(
-        spark, cfg, tbl, _EVENTS_DDL, "dt STRING, hr BIGINT", out
+        spark, cfg, tbl, _EVENTS_DDL, [("dt", "STRING"), ("hr", "BIGINT")], out
     )
 
     parts = []

@@ -14,6 +14,7 @@ inference is an extra full pass over the data at scale).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -22,6 +23,20 @@ from pyspark.sql import functions as F
 
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
+
+
+def _derived_cache_tag(sf_dir: str, src_table: str = "events") -> str:
+    """Cache key for warehouse-materialized derived copies of a fixture
+    table: md5 of the ABSOLUTE fixture path plus the source parquet's
+    (mtime_ns, size). Two fixture trees that share an ``sf<scale>``
+    suffix (the repo has both repo-local testdata/ and /root/testdata),
+    or a regenerated fixture, can therefore never serve each other's
+    stale derivation — the round-6 review's cache-poisoning finding.
+    Same convention as metastore.register_catalog_partitions."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
 
 _PROJECTED = """
     SELECT event_id, date_trunc('second', ts) AS ts, user_id, event_type,
@@ -106,7 +121,11 @@ def avro_available(spark: SparkSession) -> bool:
         spark.read.format("avro").load("/nonexistent_avro_probe")
         return True
     except Exception as exc:
-        return "Failed to find data source" not in str(exc)
+        from flume_hive_batch_sink_spark.streaming.source import (
+            is_missing_datasource,
+        )
+
+        return not is_missing_datasource(exc)
 
 
 def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +235,7 @@ def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "/tmp"
-    tag = sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    tag = _derived_cache_tag(sf_dir)
     out = os.path.join(wh, f"text_regex_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev.write.mode("overwrite").text(out)
@@ -270,7 +289,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "/tmp"
-    tag = sf_dir.rstrip("/").split("sf")[-1].replace(".", "_")
+    tag = _derived_cache_tag(sf_dir)
     out = os.path.join(wh, f"part_pruned_{tag}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

@@ -70,18 +70,37 @@ def create_external_partitioned_table(
     cfg: MetastoreConfig,
     table: str,
     columns_ddl: str,
-    partition_ddl: str,
+    partitions: list[tuple[str, str]] | str,
     location: str,
 ) -> str:
     """CREATE the external table in the configured catalog. Same
-    statement against the session catalog or an HMS-backed one."""
+    statement against the session catalog or an HMS-backed one.
+
+    ``partitions`` is a list of ``(name, type)`` tuples — the DDL
+    fragment and the PARTITIONED BY column list are both rendered from
+    it, so a type containing a comma (``DECIMAL(10, 2)``) or arbitrary
+    whitespace can never produce a malformed clause (the round-6 review
+    finding against string-splitting a caller-formatted DDL). A plain
+    DDL string is still accepted and parsed on commas OUTSIDE
+    parentheses for callers with simple types."""
+    if isinstance(partitions, str):
+        import re
+
+        partitions = [
+            (p.split(None, 1)[0], p.split(None, 1)[1])
+            for p in (
+                s.strip() for s in re.split(r",(?![^()]*\))", partitions)
+            )
+            if p
+        ]
     ensure_database(spark, cfg)
     name = qualified(cfg, table)
+    part_ddl = ", ".join(f"{n} {t}" for n, t in partitions)
+    part_cols = ", ".join(n for n, _ in partitions)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
-        f"CREATE TABLE {name} ({columns_ddl}, {partition_ddl}) "
-        f"USING parquet PARTITIONED BY "
-        f"({', '.join(p.split()[0] for p in partition_ddl.split(', '))}) "
+        f"CREATE TABLE {name} ({columns_ddl}, {part_ddl}) "
+        f"USING parquet PARTITIONED BY ({part_cols}) "
         f"LOCATION '{location}'"
     )
     return name

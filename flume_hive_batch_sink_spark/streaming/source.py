@@ -192,6 +192,37 @@ def _kafka_stream(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
     return decode_kafka_events(reader.load())
 
 
+def is_missing_datasource(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's data-source-not-found failure,
+    matched on the ERROR CLASS (``DATA_SOURCE_NOT_FOUND`` plus the two
+    legacy template ids), not on message text: the message probe the
+    round-6 review flagged only matched the legacy wording ("Failed to
+    find data source") and would silently report a connector PRESENT if
+    a future Spark dropped that template. Message matching survives
+    only as a fallback for exceptions that carry no error class, and it
+    accepts both the legacy and the current ("Failed to find the data
+    source") phrasings."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(exc, AnalysisException):
+        cls = None
+        for getter in ("getCondition", "getErrorClass"):
+            try:
+                cls = getattr(exc, getter)()
+            except Exception:
+                cls = None
+            if cls:
+                break
+        if cls:
+            return cls in {
+                "DATA_SOURCE_NOT_FOUND",
+                "_LEGACY_ERROR_TEMP_1139",
+                "_LEGACY_ERROR_TEMP_1140",
+            }
+    msg = str(exc)
+    return "Failed to find" in msg and "data source" in msg
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True iff the spark-sql-kafka connector is on the classpath.
 
@@ -204,8 +235,8 @@ def kafka_available(spark: SparkSession) -> bool:
             "kafka.bootstrap.servers", "probe:9092"
         ).option("subscribe", "probe").load()
         return True
-    except Exception as exc:  # AnalysisException: Failed to find data source
-        return "Failed to find data source" not in str(exc)
+    except Exception as exc:  # AnalysisException: DATA_SOURCE_NOT_FOUND
+        return not is_missing_datasource(exc)
 
 
 # --------------------------------------------------------------------------

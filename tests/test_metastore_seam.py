@@ -79,3 +79,32 @@ def test_unknown_mode_rejected():
 def test_session_mode_leaves_builder_untouched():
     b = SparkSession.builder.appName("plain")
     assert ms.configure_builder(b, ms.MetastoreConfig()) is b
+
+
+def test_partition_tuples_render_comma_types(spark):
+    """(name, type) partition specs with commas INSIDE the type
+    (DECIMAL(10, 2)) and no-space string DDL must both render valid
+    CREATE statements — the clause can no longer be malformed by the
+    caller's whitespace or a parenthesized type."""
+    import tempfile
+
+    from flume_hive_batch_sink_spark.sources import metastore as ms
+
+    cfg = ms.MetastoreConfig()
+    loc = tempfile.mkdtemp(prefix="ext_tbl_ddl_")
+    name = ms.create_external_partitioned_table(
+        spark, cfg, "ddl_tuple_probe", "id BIGINT",
+        [("amt", "DECIMAL(10, 2)"), ("dt", "STRING")], loc,
+    )
+    cols = {r.name: r.dataType for r in spark.catalog.listColumns(name)}
+    assert cols["amt"].lower().replace(" ", "") == "decimal(10,2)"
+    spark.sql(f"DROP TABLE {name}")
+
+    name = ms.create_external_partitioned_table(
+        spark, cfg, "ddl_str_probe", "id BIGINT",
+        "amt DECIMAL(10, 2),dt STRING", loc,  # no space after comma
+    )
+    cols = {r.name: r.dataType for r in spark.catalog.listColumns(name)}
+    assert cols["amt"].lower().replace(" ", "") == "decimal(10,2)"
+    assert "dt" in cols
+    spark.sql(f"DROP TABLE {name}")
