@@ -150,6 +150,10 @@ RISKY = [
     "ts_stl_anomaly",
     "dq_ks_test",
     "sample_group_holdout",
+    # round-7 additions: binned Lorenz ranks, trained-quantizer A/B
+    # (k-means sample selection + argmax encode both hash/tie-prone)
+    "agg_gini_binned",
+    "llm_ann_pq_trained",
 ]
 
 
