@@ -626,3 +626,82 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(leak))
         .select("split", "n_users", "n_events", "n_leaked_users")
     )
+
+
+@query(
+    "split_temporal",
+    oracle="""
+    SELECT split,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT user_id, event_id,
+             CASE WHEN rk = 1 AND n >= 3 THEN 'test'
+                  WHEN rk = 2 AND n >= 3 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+      )
+    )
+    GROUP BY split
+    """,
+)
+def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL leave-last-out split — the standard recommender /
+    next-event evaluation protocol: per user, the most recent event is
+    'test', the second most recent 'val', everything earlier 'train'.
+    Unlike the hash splits above, the boundary is each user's own
+    timeline, so evaluation simulates the only deployment that exists —
+    predicting the future from the past — and a random row split that
+    trains on Tuesday to predict Monday is exactly the leak this key
+    prevents. Users with fewer than 3 events stay entirely in train
+    (their test split would otherwise consume most of their history).
+
+    Determinism: the ordering key is (ts DESC, event_id DESC) — the
+    event_id tiebreak makes same-timestamp users split identically on
+    every run and any partitioning. Leak-freedom is by construction:
+    train events of a user strictly precede that user's val/test events
+    in this total order.
+
+    Plan at 100 TB: ONE shuffle on user_id; row_number and the per-user
+    count share the same window partitioning, so the single user_id
+    exchange+sort feeds both Window operators back-to-back (Spark
+    splits the ordered and whole-partition specs into two Window nodes
+    but inserts no second exchange — plan-gated), then a map-side-
+    combined hash aggregation on the 3-value split key. No global
+    window, no join, no driver state; per-user skew (power users) is
+    bounded by per-user event counts and AQE's skew handling. Output is
+    the split audit: sizes, user coverage, and an order-insensitive
+    event_id checksum so the oracle pins the exact membership, not just
+    the counts."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w_rk = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_n = Window.partitionBy("user_id")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    split = (
+        F.when((F.col("rk") == 1) & (F.col("n") >= 3), "test")
+        .when((F.col("rk") == 2) & (F.col("n") >= 3), "val")
+        .otherwise("train")
+    )
+    return (
+        tagged.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )

@@ -154,6 +154,7 @@ RISKY = [
     # (k-means sample selection + argmax encode both hash/tie-prone)
     "agg_gini_binned",
     "llm_ann_pq_trained",
+    "split_temporal",
 ]
 
 

@@ -715,3 +715,18 @@ def test_incremental_dedup_bloom_broadcast(spark):
     p = plan(registry.QUERIES["llm_incremental_dedup"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_split_temporal_single_user_exchange(spark):
+    """split_temporal's two window functions (row_number + per-user
+    count) must share one user_id exchange: exactly one
+    hashpartitioning(user_id...) Exchange feeding both Window nodes,
+    and no global (unpartitioned) window anywhere."""
+    p = plan(registry.QUERIES["split_temporal"](spark, SF_DIR))
+    args = [
+        line
+        for line in p.splitlines()
+        if "hashpartitioning" in line and "user_id" in line
+    ]
+    assert len(args) == 1, f"expected one user_id exchange, got: {args}"
+    assert "windowspecdefinition()" not in p  # no empty/global window spec
