@@ -1286,7 +1286,39 @@ def _pq_sub_explode(df, vec_col, out_col):
     )
 
 
-def _pq_search(e: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pq_exact_top10(e: DataFrame) -> DataFrame:
+    """The exact inner-product top-10 per query — the certificate's
+    ground truth, test-scale-only by construction (crossJoin). Depends
+    only on the corpus, not on any codebook, so an A/B key computes it
+    ONCE and passes it to both _pq_search calls."""
+    q = e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact0 = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_DEC_DOT.format(a="qe", b="e")).alias("score"),
+        )
+    )
+    w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    # explicit x_qid alias: both sides of the downstream join descend
+    # from the same scan, so without distinct attribute names Spark
+    # falls back to its ambiguous-self-join heuristic ("trivially true
+    # equals predicate" warning) — fragile across versions. Distinct
+    # names make the condition unambiguous by construction.
+    return (
+        exact0.withColumn("ek", F.row_number().over(w_ek))
+        .filter(F.col("ek") <= 10)
+        .select(F.col("qid").alias("x_qid"), F.col("vec_id").alias("x_id"))
+    )
+
+
+def _pq_search(
+    e: DataFrame, codebook: DataFrame, exact10: DataFrame | None = None
+) -> DataFrame:
     """The PQ/ADC dataflow shared by the anchor- and trained-codebook
     keys: encode every vector to its per-subspace nearest centroid
     (broadcast codebook, decimal-exact sqdist), build each query's
@@ -1295,7 +1327,8 @@ def _pq_search(e: DataFrame, codebook: DataFrame) -> DataFrame:
     with membership in the EXACT inner-product top-10 plus per-query
     recall@10. ``codebook`` is (s, cid, cs) — its provenance (anchor
     rows or trained centroids) is the only thing the two keys differ
-    in."""
+    in. ``exact10`` lets an A/B caller reuse one ground-truth ranking
+    across both searches (it is codebook-independent)."""
     subv = _pq_sub_explode(e, F.col("e"), "vs")
     enc0 = subv.join(F.broadcast(codebook), "s").withColumn(
         "sqd", F.expr(_DEC_SQDIST.format(a="vs", b="cs"))
@@ -1329,26 +1362,8 @@ def _pq_search(e: DataFrame, codebook: DataFrame) -> DataFrame:
         .withColumnRenamed("vec_id", "nn_id")
     )
 
-    exact0 = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr(_DEC_DOT.format(a="qe", b="e")).alias("score"),
-        )
-    )
-    w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
-    # explicit x_qid alias: both sides of this join descend from the
-    # same scan, so without distinct attribute names Spark falls back
-    # to its ambiguous-self-join heuristic ("trivially true equals
-    # predicate" warning) — fragile across versions. Distinct names
-    # make the condition unambiguous by construction.
-    exact10 = (
-        exact0.withColumn("ek", F.row_number().over(w_ek))
-        .filter(F.col("ek") <= 10)
-        .select(F.col("qid").alias("x_qid"), F.col("vec_id").alias("x_id"))
-    )
+    if exact10 is None:
+        exact10 = _pq_exact_top10(e)
     hits = approx.join(
         exact10,
         (F.col("qid") == F.col("x_qid")) & (F.col("nn_id") == F.col("x_id")),
@@ -1487,8 +1502,10 @@ def llm_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boolean is stable per fixture);
     (2) ``recall_floor_ok``: trained recall ≥ {_PQ_TRAINED_RECALL_FLOOR}
     (sanity floor under the whole observed band);
-    (3) every query present (n_queries) with exactly 10 hits (n_rows) —
-    the approximate index never drops or duplicates a candidate.
+    (3) every query present (n_queries) with exactly 10 hits — n_rows
+    counts the search's ACTUAL result rows (summed per query before any
+    dedup), so a search that drops or duplicates a candidate breaks the
+    n_queries*10 oracle equality.
     Recall is low in absolute terms because the fixture is ISOTROPIC —
     the documented PQ worst case; clustered real corpora sit far
     higher. The exact-ranking crossJoin lives in _pq_search and is the
@@ -1502,20 +1519,23 @@ def llm_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         anch.select(F.col("vec_id").alias("cid"), "e"), F.col("e"), "cs"
     )
     cb_trained = _pq_trained_codebook(spark, e)
+    exact10 = _pq_exact_top10(e)
 
     def mean_recall(hits: DataFrame, col: str) -> DataFrame:
-        return (
-            hits.select("query_id", "recall10")
-            .distinct()
-            .agg(
-                F.avg("recall10").alias(col),
-                F.countDistinct("query_id").cast("long").alias(f"nq_{col}"),
-                (F.count("*") * 10).cast("long").alias(f"nr_{col}"),
-            )
+        # per-query first, so n_rows counts ACTUAL hit rows (a search
+        # that dropped or duplicated a candidate shifts the sum) while
+        # the recall average still weights every query equally
+        per_q = hits.groupBy("query_id").agg(
+            F.count("*").alias("nh"), F.max("recall10").alias("r")
+        )
+        return per_q.agg(
+            F.avg("r").alias(col),
+            F.count("*").cast("long").alias(f"nq_{col}"),
+            F.sum("nh").cast("long").alias(f"nr_{col}"),
         )
 
-    t = mean_recall(_pq_search(e, cb_trained), "r_trained")
-    a = mean_recall(_pq_search(e, cb_anchor), "r_anchor")
+    t = mean_recall(_pq_search(e, cb_trained, exact10), "r_trained")
+    a = mean_recall(_pq_search(e, cb_anchor, exact10), "r_anchor")
     return t.crossJoin(F.broadcast(a)).select(
         F.col("nq_r_trained").alias("n_queries"),
         F.col("nr_r_trained").alias("n_rows"),

@@ -1607,21 +1607,27 @@ def etl_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ks_quantize(x, q: int):
-    """Snap ``x`` to the floor of its width-``q`` cell (``x − x % q``):
-    the value-quantization step that bounds a KS test's distinct-value
-    grain by construction. Integer arithmetic only — no float division,
-    so Spark and any SQL oracle agree bit-for-bit. ``q=1`` (or None)
-    is the identity, the right default for already-discrete columns."""
+    """Snap ``x`` to the floor of its width-``q`` cell: the
+    value-quantization step that bounds a KS test's distinct-value
+    grain by construction. Uses the FLOORED modulo
+    ``x − ((x % q) + q) % q`` rather than ``x − x % q`` because
+    Spark's (and standard SQL's) ``%`` truncates toward zero — the
+    naive form would merge (−q, q) into one double-width cell at 0 for
+    signed columns (round-7 review). Integer arithmetic only — no
+    float division, so Spark and any SQL oracle agree bit-for-bit.
+    ``q=1`` (or None) is the identity, the right default for
+    already-discrete columns."""
     if not q or q == 1:
         return x
-    return x - x % F.lit(q)
+    qq = F.lit(q)
+    return x - ((x % qq) + qq) % qq
 
 
 @query(
     "dq_ks_test",
     oracle="""
     WITH labeled AS (
-      SELECT n_chars - (n_chars % 16) AS x,
+      SELECT n_chars - (((n_chars % 16) + 16) % 16) AS x,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp
       FROM documents
     ),
@@ -1678,8 +1684,9 @@ def dq_ks_test(
 
     The grain entering that window is bounded BY CONSTRUCTION, not by
     advice: ``quantize`` snaps each value to its cell floor
-    (``x − x % q`` — pure integer arithmetic, bit-identical across
-    engines) before the distinct-value collapse, so the window input
+    (floored modulo — pure integer arithmetic, negative-safe,
+    bit-identical across engines; see ks_quantize) before the
+    distinct-value collapse, so the window input
     is at most range/q rows regardless of corpus size. D is then the
     exact KS statistic OF THE QUANTIZED DATA (the max gap still
     occurs at an observed cell edge); it differs from the raw-data D

@@ -7,32 +7,37 @@ plain ``mode("overwrite")`` rewrite lets a concurrent reader observe a
 half-written table (or, worse, an empty one mid-delete). Here a MERGE
 is a copy-on-write commit:
 
-1. The new table version is written to a fresh ``v=<N>`` directory —
-   never touching the live one.
-2. The commit is a SINGLE atomic ``os.replace`` of the ``_current``
-   manifest (POSIX rename atomicity — the same primitive every
-   log-structured table format ultimately relies on).
+1. The new table version is written to a PRIVATE per-attempt staging
+   directory (``_stage_v<N>_<uuid>``) — never touching the live one,
+   and never shared with a racing writer.
+2. The commit, under an exclusive flock, compare-and-swaps: re-read
+   the committed version (must still be N-1), atomically rename the
+   staging dir to ``v=<N>``, then a SINGLE atomic ``os.replace`` of
+   the ``_current`` manifest (POSIX rename atomicity — the same
+   primitive every log-structured table format ultimately relies on).
 
 Readers resolve the manifest first, then read only the pinned
-version's directory, so they see the old version until the instant of
-the swap and the new one after — never a mix, never a partial write. A
-crash after step 1 but before step 2 leaves an orphaned staging
-directory that the next attempt simply rewrites; the manifest — and so
-every reader — still points at the old version
-(tests/test_table_commit.py::test_crash_mid_merge_preserves_old_version).
+version's recorded file list, so they see the old version until the
+instant of the swap and the new one after — never a mix, never a
+partial write. A crash before the publish leaves an orphaned
+``_stage_*`` directory no reader can ever resolve; the manifest — and
+so every reader — still points at the old version
+(tests/test_table_commit.py::test_crash_mid_merge_preserves_old_version),
+and ``vacuum(sweep_stages=True)`` reclaims the orphan.
 
 At 100 TB this is exactly the Iceberg/Delta commit shape reduced to
 its kernel: O(changed files) data write, O(1) metadata swap, retained
 old versions give snapshot-isolated readers and time travel until a
 vacuum drops them. The manifest carries the file list and readers are
-pinned to it (never a directory listing), and the publish step is a
-COMPARE-and-swap: an exclusive flock + version re-read serializes
-same-host writers, so two committers that both staged v=N resolve to
-one winner and one ConcurrentCommitError — the optimistic-concurrency
-conflict every table-format catalog surfaces, never a silent lost
-update. Cross-HOST coordination is out of scope by design: that is the
-catalog's CAS (Iceberg metastore/REST, Delta LogStore) — this module is
-the single-filesystem kernel those protocols wrap.
+pinned to it (never a directory listing). Because staging dirs are
+unique per attempt, two committers that both staged v=N resolve to one
+winner and one ConcurrentCommitError — with the loser's data untouched
+in its own staging dir and the winner's files enumerated from a
+directory only it ever wrote — never a silent lost update and never a
+torn winner (the round-7 review's shared-staging race). Cross-HOST
+coordination is out of scope by design: that is the catalog's CAS
+(Iceberg metastore/REST, Delta LogStore) — this module is the
+single-filesystem kernel those protocols wrap.
 """
 
 from __future__ import annotations
@@ -41,8 +46,10 @@ import contextlib
 import fcntl
 import json
 import os
+import shutil
 import tempfile
 import time
+import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_current"
@@ -97,38 +104,54 @@ def _version_dir(root: str, version: int) -> str:
 
 
 def stage_version(df: DataFrame, root: str) -> tuple[int, str]:
-    """Step 1 of a commit: write the full next-version directory without
-    publishing it. Returns (version, data_dir). Idempotent on retry —
-    a crashed attempt's leftovers are overwritten."""
+    """Step 1 of a commit: write the full next-version data to a
+    PRIVATE staging directory (``_stage_v<N>_<uuid>``) without
+    publishing it. Returns (version, staging_dir).
+
+    The staging dir is unique per attempt — two writers racing the same
+    next version never share a directory, so neither can clobber or
+    tear the other's staged data (the round-7 review's race: with a
+    shared ``v=N`` staging dir, the CAS winner could publish the
+    loser's half-overwritten files). A crashed attempt leaves an
+    orphaned ``_stage_*`` dir that readers can never resolve (only the
+    manifest names readable paths); ``vacuum(sweep_stages=True)``
+    reclaims them."""
     os.makedirs(root, exist_ok=True)
     version = (current_version(root) or 0) + 1
-    data_dir = _version_dir(root, version)
-    df.write.mode("overwrite").parquet(data_dir)
-    return version, data_dir
+    staging_dir = os.path.join(
+        root, f"_stage_v{version}_{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("overwrite").parquet(staging_dir)
+    return version, staging_dir
 
 
-def publish_version(root: str, version: int) -> None:
-    """Step 2 of a commit: compare-and-swap the manifest to ``version``.
+def publish_version(root: str, version: int, staging_dir: str) -> None:
+    """Step 2 of a commit: compare-and-swap the manifest to ``version``,
+    adopting the private staging dir as the version directory.
 
-    The swap itself is an ``os.replace`` of a fsynced temp file (readers
-    resolve the old manifest or the new one, never a torn write), and it
-    runs under the commit flock with a re-read of the committed version:
-    publishing v=N requires the table to still be at N-1. Two writers
-    that both staged v=N therefore serialize — the first wins, the
-    second raises ConcurrentCommitError instead of silently discarding
-    the winner's data (the lost-update the round-6 review flagged).
+    Under the commit flock: re-read the committed version (publishing
+    v=N requires the table to still be at N-1 — two writers that both
+    staged v=N serialize, the first wins, the second raises
+    ConcurrentCommitError with its staged data intact), remove any
+    orphaned ``v=N`` left by a writer that crashed between its rename
+    and its manifest swap (provably unpublished: the manifest still
+    says N-1, and readers only resolve manifest-named paths), rename
+    the staging dir to ``v=N`` (atomic within a filesystem), then
+    ``os.replace`` the fsynced manifest — readers resolve the old
+    manifest or the new one, never a torn write.
 
-    The file list is enumerated from the fully-written staging dir and
-    recorded twice: in the manifest (current-version readers) and as
+    The file list is enumerated from the PRIVATE staging dir before the
+    rename — no concurrent writer can be mutating it — and recorded
+    twice: in the manifest (current-version readers) and as
     ``_files.json`` inside the version dir (time-travel readers), so no
     reader ever depends on a directory-listing race."""
-    data_dir = _version_dir(root, version)
     files = sorted(
-        f for f in os.listdir(data_dir)
+        f for f in os.listdir(staging_dir)
         if f.endswith(".parquet") or f.startswith("part-")
     )
-    with open(os.path.join(data_dir, _FILES), "w", encoding="utf-8") as f:
+    with open(os.path.join(staging_dir, _FILES), "w", encoding="utf-8") as f:
         json.dump(files, f)
+    data_dir = _version_dir(root, version)
     manifest = {
         "version": version,
         "path": os.path.basename(data_dir),
@@ -149,6 +172,9 @@ def publish_version(root: str, version: int) -> None:
                     f"expected v={version - 1} — another writer committed "
                     "first; re-stage against the new state and retry"
                 )
+            if os.path.isdir(data_dir):
+                shutil.rmtree(data_dir)
+            os.rename(staging_dir, data_dir)
             os.replace(tmp, _manifest_path(root))
     finally:
         if os.path.exists(tmp):
@@ -157,8 +183,8 @@ def publish_version(root: str, version: int) -> None:
 
 def commit_version(df: DataFrame, root: str) -> int:
     """stage + publish in one call (the no-crash path)."""
-    version, _ = stage_version(df, root)
-    publish_version(root, version)
+    version, staging_dir = stage_version(df, root)
+    publish_version(root, version, staging_dir)
     return version
 
 
@@ -228,10 +254,10 @@ def merge_commit(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_update")
     )
-    version, _ = stage_version(merged, root)
+    version, staging_dir = stage_version(merged, root)
     if before_publish is not None:
         before_publish(version)
-    publish_version(root, version)
+    publish_version(root, version, staging_dir)
     return version
 
 
@@ -260,17 +286,21 @@ def current_tx(root: str) -> dict | None:
 
 
 def stage_snapshot(dfs: dict[str, DataFrame], root: str) -> dict:
-    """Write every table's next version dir without publishing any.
-    Versions advance per-table from the committed manifest."""
+    """Write every table's next version to a PRIVATE per-attempt
+    staging dir (same unique-staging rule as stage_version — racing
+    writers never share a directory). Versions advance per-table from
+    the committed manifest; the returned dict carries the staging dirs
+    for publish_snapshot to adopt."""
     os.makedirs(root, exist_ok=True)
     cur = current_tx(root) or {"tx": 0, "tables": {}}
-    staged = {"tx": cur["tx"] + 1, "tables": {}}
+    attempt = uuid.uuid4().hex[:12]
+    staged = {"tx": cur["tx"] + 1, "tables": {}, "stage_dirs": {}}
     for name, df in dfs.items():
         version = cur["tables"].get(name, 0) + 1
-        df.write.mode("overwrite").parquet(
-            os.path.join(root, name, f"v={version}")
-        )
+        stage_dir = os.path.join(root, name, f"_stage_v{version}_{attempt}")
+        df.write.mode("overwrite").parquet(stage_dir)
         staged["tables"][name] = version
+        staged["stage_dirs"][name] = stage_dir
     return staged
 
 
@@ -280,24 +310,34 @@ def publish_snapshot(root: str, staged: dict) -> None:
     the new, never a mix. Runs under the commit flock with a re-read:
     publishing tx=T requires the snapshot root to still be at T-1, so
     two writers that both staged T serialize and the loser raises
-    ConcurrentCommitError instead of silently orphaning the winner's
-    committed tables. Per-table file lists are recorded in the manifest
-    so snapshot readers are pinned to committed files, not listings."""
+    ConcurrentCommitError with its staged data intact. After the CAS
+    check, each table's private staging dir is renamed to its ``v=N``
+    (removing any orphan left by a writer that crashed mid-publish —
+    provably unpublished, since the manifest still reads T-1); the
+    renames need not be jointly atomic because readers only resolve
+    manifest-named paths, and the manifest flips last, once. Per-table
+    file lists are enumerated from the private staging dirs and
+    recorded in the manifest so snapshot readers are pinned to
+    committed files, not listings."""
     import time as _time
 
+    stage_dirs = staged.get("stage_dirs") or {}
     files = {
         name: sorted(
             f
-            for f in os.listdir(os.path.join(root, name, f"v={v}"))
+            for f in os.listdir(stage_dirs[name])
             if f.endswith(".parquet") or f.startswith("part-")
         )
-        for name, v in staged["tables"].items()
+        for name in staged["tables"]
     }
-    staged = dict(staged, files=files, committed_at=_time.time())
+    manifest = {
+        k: v for k, v in staged.items() if k != "stage_dirs"
+    }
+    manifest = dict(manifest, files=files, committed_at=_time.time())
     fd, tmp = tempfile.mkstemp(prefix="_tx_", dir=root)
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(staged, f)
+            json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
         with _commit_lock(root):
@@ -308,6 +348,11 @@ def publish_snapshot(root: str, staged: dict) -> None:
                     f"tx={cur['tx']}, expected tx={staged['tx'] - 1} — "
                     "another writer committed first; re-stage and retry"
                 )
+            for name, v in staged["tables"].items():
+                data_dir = os.path.join(root, name, f"v={v}")
+                if os.path.isdir(data_dir):
+                    shutil.rmtree(data_dir)
+                os.rename(stage_dirs[name], data_dir)
             os.replace(tmp, os.path.join(root, _SNAP_MANIFEST))
     finally:
         if os.path.exists(tmp):
@@ -344,15 +389,20 @@ def read_snapshot(
     return spark.read.parquet(data_dir)
 
 
-def vacuum(root: str, keep: int = 2) -> list[int]:
+def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
     """Drop all but the newest ``keep`` committed-or-older version
     directories, never touching the current one or anything newer than
-    it (an in-flight stage). Returns the removed version numbers. The
-    retention window IS the snapshot-isolation guarantee for lagging
-    readers — size it to the longest reader you allow, exactly like a
-    table format's retention policy."""
+    it. Returns the removed version numbers. The retention window IS
+    the snapshot-isolation guarantee for lagging readers — size it to
+    the longest reader you allow, exactly like a table format's
+    retention policy.
+
+    ``sweep_stages=True`` additionally reclaims orphaned ``_stage_*``
+    directories left by crashed commit attempts. Only enable it when no
+    stage is in flight (the maintenance-window rule every table
+    format's orphan-file cleanup carries), since the filesystem cannot
+    distinguish a crashed stage from a slow one."""
     import re
-    import shutil
 
     cur = current_version(root)
     if cur is None:
@@ -365,6 +415,10 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
     droppable = [v for v in versions if v <= cur - keep]
     for v in droppable:
         shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+    if sweep_stages:
+        for d in os.listdir(root):
+            if d.startswith("_stage_"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return droppable
 
 

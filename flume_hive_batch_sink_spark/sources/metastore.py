@@ -86,13 +86,20 @@ def create_external_partitioned_table(
     if isinstance(partitions, str):
         import re
 
-        partitions = [
-            (p.split(None, 1)[0], p.split(None, 1)[1])
-            for p in (
-                s.strip() for s in re.split(r",(?![^()]*\))", partitions)
-            )
-            if p
-        ]
+        parsed: list[tuple[str, str]] = []
+        for frag in re.split(r",(?![^()]*\))", partitions):
+            frag = frag.strip()
+            if not frag:
+                continue
+            tokens = frag.split(None, 1)
+            if len(tokens) != 2:
+                raise ValueError(
+                    f"partition DDL fragment {frag!r} must be "
+                    "'<name> <type>' — pass a list of (name, type) "
+                    "tuples for anything beyond simple types"
+                )
+            parsed.append((tokens[0], tokens[1]))
+        partitions = parsed
     ensure_database(spark, cfg)
     name = qualified(cfg, table)
     part_ddl = ", ".join(f"{n} {t}" for n, t in partitions)

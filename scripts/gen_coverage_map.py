@@ -78,14 +78,27 @@ def main() -> None:
     keys = sorted(registry.QUERIES)
     rounds = load_driver_rounds()
     ever_driver = set().union(*[set(r) for r in rounds.values()]) & set(keys)
+    # a key's verdict = its LATEST driver appearance (rounds sort by tag
+    # zero-padded, so r02 < r10 works); the headline claim is computed,
+    # never asserted
+    latest_verdict: dict[str, bool] = {}
+    for tag in sorted(rounds, key=lambda t: (len(t), t)):
+        latest_verdict.update(rounds[tag])
+    driver_red = sorted(
+        k for k in ever_driver if not latest_verdict.get(k, False)
+    )
 
-    # newest full local sweep at each scale
+    # newest full local sweep at each scale — by mtime, not name
+    # (lexicographic glob order puts round10 before round7)
     sweeps = {}
     for pattern, scale in (
         ("*full_parity_sf001*.log", "sf0.01"),
         ("*full_parity_sf1.log", "sf1"),
     ):
-        logs = sorted(REPO.glob(f"artifacts/{pattern}"))
+        logs = sorted(
+            REPO.glob(f"artifacts/{pattern}"),
+            key=lambda p: p.stat().st_mtime,
+        )
         if logs:
             sweeps[scale] = (logs[-1], parse_sweep(logs[-1]))
 
@@ -101,7 +114,13 @@ def main() -> None:
         "",
         f"{len(keys)} registered keys. The driver samples ~50 keys per "
         f"round; union ever driver-checked: **{len(ever_driver)}** "
-        f"(all green in their latest appearance). The remaining "
+        + (
+            "(all green in their latest appearance)"
+            if not driver_red
+            else f"(**{len(driver_red)} RED in their latest appearance: "
+            f"{', '.join(driver_red)}**)"
+        )
+        + f". The remaining "
         f"{len(keys) - len(ever_driver)} are continuously verified by "
         "the local full sweeps below (same protocol: row count + schema "
         "+ order-insensitive value-hash vs DuckDB).",

@@ -108,3 +108,18 @@ def test_partition_tuples_render_comma_types(spark):
     assert cols["amt"].lower().replace(" ", "") == "decimal(10,2)"
     assert "dt" in cols
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_partition_ddl_missing_type_raises_valueerror(spark):
+    """A partition fragment with no type token must fail loudly with a
+    ValueError naming the bad fragment — not an IndexError or a
+    downstream SQL parse error."""
+    import tempfile
+
+    from flume_hive_batch_sink_spark.sources import metastore as ms
+
+    with pytest.raises(ValueError, match="'dt'"):
+        ms.create_external_partitioned_table(
+            spark, ms.MetastoreConfig(), "ddl_bad_probe", "id BIGINT",
+            "dt", tempfile.mkdtemp(prefix="ext_tbl_bad_"),
+        )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -213,9 +214,24 @@ def test_gini_binned_window_on_bucket_grain(spark):
     assert len(win_lines) == 1
     # the bucket HashAggregate is a descendant: printed below the Window
     assert any(i > win_lines[0] for i in agg_lines)
-    assert "keys=[bucket" in p.replace("#", "").partition("Window")[2] or (
-        "bucket" in p
+    # the aggregate the Window consumes is keyed by bucket — resolved
+    # through the node ids, no substring fallback: if this fails, the
+    # window moved off the bounded bucket grain
+    tree_lines = tree.splitlines()
+    m = next(
+        (
+            mm
+            for l in tree_lines[win_lines[0] + 1 :]
+            if (mm := re.search(r"HashAggregate \((\d+)\)", l))
+        ),
+        None,
     )
+    assert m, "no HashAggregate below the Window in the plan tree"
+    detail = p.split(f"({m.group(1)}) HashAggregate")[1]
+    keys_line = next(
+        l for l in detail.splitlines() if l.startswith("Keys")
+    )
+    assert "[bucket" in keys_line, keys_line
 
 
 @pytest.mark.parametrize(

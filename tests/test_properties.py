@@ -609,7 +609,11 @@ def test_sweepline_peak_equals_bruteforce(spark, iv):
 
 
 grain_vals = st.lists(
-    st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60
+    # signed domain: the floored-modulo contract must hold across zero
+    # (a truncating % would merge (−q, q) into one double-width cell)
+    st.integers(min_value=-100_000, max_value=100_000),
+    min_size=1,
+    max_size=60,
 )
 
 
@@ -617,18 +621,19 @@ grain_vals = st.lists(
 @SETTINGS
 def test_ks_quantize_bounds_grain(spark, xs, q):
     """ks_quantize must bound the distinct-value grain by construction
-    (≤ range/q + 1 cells), preserve every row, and be the identity at
-    q=1 — the property that makes dq_ks_test's ECDF window safe at any
-    corpus size."""
+    (≤ range/q + 1 cells), preserve every row, be the identity at q=1,
+    and snap every value — negative or positive — to its true floored
+    cell (floor(x/q)·q) — the property that makes dq_ks_test's ECDF
+    window safe at any corpus size and its error bound hold for signed
+    columns."""
     from flume_hive_batch_sink_spark.operators.etl import ks_quantize
 
     df = spark.createDataFrame([(x,) for x in xs], "x BIGINT")
-    qdf = df.select(ks_quantize(F.col("x"), q).alias("x"))
-    assert qdf.count() == len(xs)  # no rows dropped by quantization
-    grain = qdf.distinct().count()
+    qdf = df.select("x", ks_quantize(F.col("x"), q).alias("qx"))
+    rows = qdf.collect()
+    assert len(rows) == len(xs)  # no rows dropped by quantization
+    grain = qdf.select("qx").distinct().count()
     assert grain <= (max(xs) - min(xs)) // q + 1
-    if q == 1:
-        assert sorted(r.x for r in qdf.collect()) == sorted(xs)
-    else:
-        # every value snaps to its own cell floor
-        assert all(r.x % q == 0 for r in qdf.collect())
+    # Python's // floors, so this is the exact contract per row —
+    # including negatives, where truncation would differ
+    assert all(r.qx == (r.x // q) * q for r in rows)

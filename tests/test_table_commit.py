@@ -62,15 +62,18 @@ def test_crash_mid_merge_preserves_old_version(spark, root, purchases):
             order_cols=["ts", "event_id"], before_publish=crash,
         )
 
-    # the staged v=2 directory exists on disk, but the table is still v1
-    assert os.path.isdir(os.path.join(root, "v=2"))
+    # the staged data exists on disk (a private _stage_* dir — never a
+    # v= dir a reader could resolve), but the table is still v1
+    assert any(d.startswith("_stage_v2_") for d in os.listdir(root))
+    assert not os.path.isdir(os.path.join(root, "v=2"))
     assert tc.current_version(root) == 1
     after_crash = sorted(
         r["event_id"] for r in tc.read_table(spark, root).collect()
     )
     assert after_crash == v1_rows, "reader saw a half-committed merge"
 
-    # retry (the restarted job): the orphaned staging dir is rewritten
+    # retry (the restarted job): a fresh staging dir, the orphan stays
+    # unreadable until a vacuum sweeps it
     v2 = tc.merge_commit(
         root, updates, key_cols=["user_id"], order_cols=["ts", "event_id"]
     )
@@ -162,9 +165,11 @@ def test_multi_table_crash_keeps_join_graph_consistent(spark, root, purchases):
         pass
 
     def crash(staged):
-        # both tables' v=2 dirs are fully on disk at this point
-        assert os.path.isdir(os.path.join(root, "fact", "v=2"))
-        assert os.path.isdir(os.path.join(root, "dim", "v=2"))
+        # both tables' staged data is fully on disk at this point — in
+        # private _stage_* dirs no reader can resolve
+        assert os.path.isdir(staged["stage_dirs"]["fact"])
+        assert os.path.isdir(staged["stage_dirs"]["dim"])
+        assert not os.path.isdir(os.path.join(root, "fact", "v=2"))
         raise Boom()
 
     full = base.unionByName(updates)
@@ -204,31 +209,39 @@ def test_multi_table_crash_keeps_join_graph_consistent(spark, root, purchases):
 
 
 def test_concurrent_publish_loses_cleanly(spark, root, purchases):
-    """Two writers race the same next version: both stage v=2, exactly
-    one publish wins, the loser raises ConcurrentCommitError and the
-    winner's rows are what readers see — never a silent lost update."""
+    """The REAL dual-stage race: writers A and B both read v=1 and each
+    stage their own v=2 with different data. Exactly one publish wins,
+    the loser raises ConcurrentCommitError, and readers see the
+    WINNER'S rows — the loser can neither clobber the winner's staged
+    files (private staging dirs) nor silently discard its commit
+    (CAS)."""
     base, updates = _split(purchases)
     tc.commit_version(base, root)
 
-    # writer A and writer B both read v=1 and stage v=2
-    a_version, _ = tc.stage_version(base.limit(10), root)
-    # B overwrites the same staged dir content with ITS rows (same
-    # version number — the race the CAS exists for); stage again after
-    # A's publish would be the correct retry path
-    assert a_version == 2
-    tc.publish_version(root, 2)  # A wins
+    a_version, a_dir = tc.stage_version(base.limit(10), root)
+    b_version, b_dir = tc.stage_version(updates, root)
+    assert a_version == b_version == 2
+    assert a_dir != b_dir, "racing writers must never share a staging dir"
 
+    tc.publish_version(root, 2, a_dir)  # A wins
     with pytest.raises(tc.ConcurrentCommitError):
-        tc.publish_version(root, 2)  # B's publish of the same version
+        tc.publish_version(root, 2, b_dir)  # B loses, data intact
 
     assert tc.current_version(root) == 2
+    # the committed rows are A's, untouched by B's racing stage
     assert tc.read_table(spark, root).count() == 10
+    # B's staged data survived the lost race for a correct retry
+    assert os.path.isdir(b_dir)
 
     # B retries correctly: re-stage against the new state
-    v3, _ = tc.stage_version(updates, root)
+    v3, d3 = tc.stage_version(updates, root)
     assert v3 == 3
-    tc.publish_version(root, 3)
+    tc.publish_version(root, 3, d3)
     assert tc.read_table(spark, root).count() == updates.count()
+
+    # maintenance: sweeping stages reclaims B's orphaned v=2 attempt
+    tc.vacuum(root, keep=10, sweep_stages=True)
+    assert not any(d.startswith("_stage_") for d in os.listdir(root))
 
 
 def test_snapshot_concurrent_publish_loses_cleanly(spark, root, purchases):
