@@ -284,3 +284,42 @@ def test_reader_pinned_to_manifest_files(spark, root, purchases):
     assert (
         tc.read_table(spark, root, version=1).count() == n
     ), "time-travel read widened by alien file"
+
+
+def test_truly_concurrent_publishes_serialize(spark, root, purchases):
+    """Two threads publish their own staged v=2 at the same instant:
+    the flock + CAS must let exactly one through, and the committed
+    table must be exactly the winner's staged data (not a mix)."""
+    import threading
+
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+
+    _, a_dir = tc.stage_version(base.limit(10), root)
+    _, b_dir = tc.stage_version(base.limit(3), root)
+
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def publish(tag, d):
+        barrier.wait()
+        try:
+            tc.publish_version(root, 2, d)
+            outcomes[tag] = "won"
+        except tc.ConcurrentCommitError:
+            outcomes[tag] = "lost"
+
+    ts = [
+        threading.Thread(target=publish, args=(t, d))
+        for t, d in (("a", a_dir), ("b", b_dir))
+    ]
+    [t.start() for t in ts]
+    [t.join(60) for t in ts]
+
+    assert sorted(outcomes.values()) == ["lost", "won"], outcomes
+    assert tc.current_version(root) == 2
+    n = tc.read_table(spark, root).count()
+    winner_rows = {"a": 10, "b": 3}[
+        next(t for t, o in outcomes.items() if o == "won")
+    ]
+    assert n == winner_rows, f"committed {n} rows, not the winner's"
