@@ -756,32 +756,13 @@ _MINHASH_EST_ORACLE = f"""
 """
 
 
-@query("llm_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
-def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash estimator calibration — the measurement that justifies
-    every banding threshold upstream: P[sig position matches] = J
-    exactly, so the matching-position fraction of a K-hash signature
-    estimates Jaccard with std sqrt(J(1-J)/K). This key computes, for
-    every pair with true J >= 0.3, the 16-position estimate alongside
-    exact Jaccard and the absolute error — per-pair, hash-compared, no
-    certificate softening. Tuning the LSH family (llm_near_dedup_minhash's
-    16 bands x 2 rows) against MEASURED estimator error instead of the
-    asymptotic formula is how a production dedup pipeline picks its
-    operating point.
-
-    Portability: signatures are per-position minima of md5(k || ':' ||
-    token) compared AS STRINGS — MinHash only needs a total order on
-    hash values, and lexicographic order over identical md5 hex digests
-    is engine-identical, so the oracle replays every signature position
-    exactly (the sketch_bloom_prejoin convention, extended to string
-    keys). Spark shape: signatures are array_min/transform codegen over
-    the per-doc token array (map-side, zero shuffle); the estimate is a
-    zip_with equality fold over the two 16-element signature arrays —
-    candidate pairs never explode into (pair x K) rows. At 100 TB the
-    pair set comes from the LSH candidate generator, making this a
-    sampling-free audit that rides the existing dedup dataflow.
-    """
-    docs = load(spark, sf_dir, "documents")
+def _minhash_estimate_frame(docs: DataFrame) -> DataFrame:
+    """The estimator-calibration dataflow shared by the full-corpus key
+    (sf0.01 certificate tier) and the content-addressed-sampled key
+    (the 100 TB path): per-doc md5 signatures (map-side codegen), exact
+    all-pairs Jaccard over whatever ``docs`` holds, per-pair estimate
+    vs truth. Pair count is quadratic in len(docs) BY PURPOSE — the
+    caller bounds it."""
     tok_arr = token_arrays(docs)
 
     # seed bound via closure — see _minhash in llm_near_dedup_minhash
@@ -833,6 +814,87 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - F.col("j")), 6).alias("abs_err"),
         )
     )
+
+
+@query("llm_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the measurement that justifies
+    every banding threshold upstream: P[sig position matches] = J
+    exactly, so the matching-position fraction of a K-hash signature
+    estimates Jaccard with std sqrt(J(1-J)/K). This key computes, for
+    every pair with true J >= 0.3, the 16-position estimate alongside
+    exact Jaccard and the absolute error — per-pair, hash-compared, no
+    certificate softening. Tuning the LSH family (llm_near_dedup_minhash's
+    16 bands x 2 rows) against MEASURED estimator error instead of the
+    asymptotic formula is how a production dedup pipeline picks its
+    operating point.
+
+    Portability: signatures are per-position minima of md5(k || ':' ||
+    token) compared AS STRINGS — MinHash only needs a total order on
+    hash values, and lexicographic order over identical md5 hex digests
+    is engine-identical, so the oracle replays every signature position
+    exactly (the sketch_bloom_prejoin convention, extended to string
+    keys). Spark shape: signatures are array_min/transform codegen over
+    the per-doc token array (map-side, zero shuffle); the estimate is a
+    zip_with equality fold over the two 16-element signature arrays —
+    candidate pairs never explode into (pair x K) rows. At 100 TB the
+    pair set comes from the LSH candidate generator, making this a
+    sampling-free audit that rides the existing dedup dataflow.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return _minhash_estimate_frame(docs)
+
+
+# Content-addressed calibration sample: md5 prefix < '10' keeps
+# 16/256 = 6.25% of documents — the same per-row, coordination-free
+# idiom as split_train_test, so membership is stable under
+# repartitioning and re-runs and the oracle replays it bit-exactly.
+_EST_SAMPLE_SALT = "est-sample-v1:"
+_EST_SAMPLE_LT = "10"
+
+_MINHASH_EST_SAMPLED_ORACLE = _MINHASH_EST_ORACLE.replace(
+    "FROM documents",
+    "FROM documents WHERE substring(md5('"
+    + _EST_SAMPLE_SALT
+    + "' || CAST(doc_id AS VARCHAR)), 1, 2) < '"
+    + _EST_SAMPLE_LT
+    + "'",
+)
+
+
+@query("llm_minhash_estimate_sampled", oracle=_MINHASH_EST_SAMPLED_ORACLE)
+def llm_minhash_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_minhash_estimate's 100 TB path: the same per-pair
+    estimate-vs-exact-Jaccard calibration, computed over a
+    CONTENT-ADDRESSED 6.25% document sample (md5(doc_id) prefix <
+    0x10) instead of the full corpus. The parent key's ground truth is
+    all-pairs by definition — O(n²) and deliberately scoped to the
+    sf0.01 certificate tier; sampling the DOCS (not the pairs) keeps
+    the truth side quadratic only in the sample (0.0625² ≈ 1/256 of
+    the pairs) while still measuring the estimator on the corpus's own
+    token distribution — which is exactly how a production pipeline
+    calibrates banding thresholds on a petabyte corpus: certify the
+    estimator on a fixed-size sample, then trust P[match] = J for the
+    full run. The sample rule is the split_train_test idiom (salted
+    md5 range), so any executor classifies any row with zero
+    coordination, membership survives repartitioning/appends, and the
+    DuckDB oracle replays the exact same sample — the certificate
+    never softens to rows-only. Estimator std is sqrt(J(1-J)/16) ≈
+    0.125 at J=0.5 regardless of corpus size; the sample only has to
+    surface enough qualifying pairs to exhibit it, not every pair."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_EST_SAMPLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+        < _EST_SAMPLE_LT
+    )
+    return _minhash_estimate_frame(docs)
 
 
 # Incremental-dedup bloom parameters — same engine-portable hash family

@@ -155,6 +155,7 @@ RISKY = [
     "agg_gini_binned",
     "llm_ann_pq_trained",
     "split_temporal",
+    "llm_minhash_estimate_sampled",
 ]
 
 
