@@ -23,7 +23,11 @@ partial write. A crash before the publish leaves an orphaned
 ``_stage_*`` directory no reader can ever resolve; the manifest — and
 so every reader — still points at the old version
 (tests/test_table_commit.py::test_crash_mid_merge_preserves_old_version),
-and ``vacuum(sweep_stages=True)`` reclaims the orphan.
+and ``vacuum(sweep_stages=True)`` reclaims the orphan. A crash in the
+narrow window between the rename and the manifest swap leaves a
+``v=<N>`` directory NEWER than the manifest; ``read_table`` refuses
+versions above the committed one, so that never-committed data is
+equally unreadable until a retried publish adopts or replaces it.
 
 At 100 TB this is exactly the Iceberg/Delta commit shape reduced to
 its kernel: O(changed files) data write, O(1) metadata swap, retained
@@ -203,10 +207,23 @@ def read_table(
     reads take the list from ``_current``; time-travel reads take it
     from the version dir's ``_files.json`` (written at publish).
     Versions committed before that file existed fall back to the
-    directory read (immutable once superseded, so still safe)."""
-    pinned = version if version is not None else current_version(root)
-    if pinned is None:
+    directory read (immutable once superseded, so still safe).
+
+    Time travel is only valid for versions ≤ the committed one: a
+    ``v=N`` directory NEWER than the manifest is a publisher that
+    crashed between its rename and its manifest swap — never-committed
+    data a concurrent retry may legitimately remove — so asking for it
+    raises instead of resolving it."""
+    committed = current_version(root)
+    if committed is None:
         raise FileNotFoundError(f"no committed version at {root}")
+    if version is not None and version > committed:
+        raise FileNotFoundError(
+            f"version {version} was never committed at {root} "
+            f"(table is at v={committed}; a v={version} directory, if "
+            "present, is a crashed publish attempt)"
+        )
+    pinned = version if version is not None else committed
     data_dir = _version_dir(root, pinned)
     files: list[str] | None = None
     try:
@@ -322,6 +339,14 @@ def publish_snapshot(root: str, staged: dict) -> None:
     import time as _time
 
     stage_dirs = staged.get("stage_dirs") or {}
+    missing = sorted(set(staged["tables"]) - set(stage_dirs))
+    if missing:
+        raise ValueError(
+            "staged dict has no stage_dirs entry for "
+            f"{missing} — publish_snapshot requires the dict returned "
+            "by stage_snapshot (private per-attempt staging dirs); "
+            "re-stage rather than publishing a hand-built manifest"
+        )
     files = {
         name: sorted(
             f
@@ -398,12 +423,28 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
     retention policy.
 
     ``sweep_stages=True`` additionally reclaims orphaned ``_stage_*``
-    directories left by crashed commit attempts. Only enable it when no
-    stage is in flight (the maintenance-window rule every table
-    format's orphan-file cleanup carries), since the filesystem cannot
-    distinguish a crashed stage from a slow one."""
+    directories left by crashed commit attempts — including a crashed
+    FIRST-ever commit (no manifest yet) and the nested
+    ``<root>/<table>/_stage_*`` layout a crashed stage_snapshot leaves,
+    so the sweep runs before (and independently of) the version-window
+    logic. Only enable it when no stage is in flight (the
+    maintenance-window rule every table format's orphan-file cleanup
+    carries), since the filesystem cannot distinguish a crashed stage
+    from a slow one."""
     import re
 
+    if sweep_stages and os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if d.startswith("_stage_"):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.isdir(p) and not d.startswith("v="):
+                # snapshot layout: per-table subdirs hold their own stages
+                for sub in os.listdir(p):
+                    if sub.startswith("_stage_"):
+                        shutil.rmtree(
+                            os.path.join(p, sub), ignore_errors=True
+                        )
     cur = current_version(root)
     if cur is None:
         return []
@@ -415,10 +456,6 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
     droppable = [v for v in versions if v <= cur - keep]
     for v in droppable:
         shutil.rmtree(_version_dir(root, v), ignore_errors=True)
-    if sweep_stages:
-        for d in os.listdir(root):
-            if d.startswith("_stage_"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return droppable
 
 

@@ -88,17 +88,20 @@ def main() -> None:
         k for k in ever_driver if not latest_verdict.get(k, False)
     )
 
-    # newest full local sweep at each scale — by mtime, not name
-    # (lexicographic glob order puts round10 before round7)
+    # newest full local sweep at each scale — by round number parsed
+    # from the name (lexicographic order puts round10 before round7;
+    # mtime is nondeterministic after a fresh clone), mtime as the
+    # tiebreak for un-numbered names
+    def sweep_order(p: Path) -> tuple[int, float]:
+        m = re.search(r"round(\d+)", p.name)
+        return (int(m.group(1)) if m else -1, p.stat().st_mtime)
+
     sweeps = {}
     for pattern, scale in (
         ("*full_parity_sf001*.log", "sf0.01"),
         ("*full_parity_sf1.log", "sf1"),
     ):
-        logs = sorted(
-            REPO.glob(f"artifacts/{pattern}"),
-            key=lambda p: p.stat().st_mtime,
-        )
+        logs = sorted(REPO.glob(f"artifacts/{pattern}"), key=sweep_order)
         if logs:
             sweeps[scale] = (logs[-1], parse_sweep(logs[-1]))
 

@@ -633,7 +633,10 @@ def test_ks_quantize_bounds_grain(spark, xs, q):
     rows = qdf.collect()
     assert len(rows) == len(xs)  # no rows dropped by quantization
     grain = qdf.select("qx").distinct().count()
-    assert grain <= (max(xs) - min(xs)) // q + 1
+    # exact cell-count bound: the floors span [floor(min/q), floor(max/q)]
+    # ((max-min)//q + 1 undercounts when the window straddles a boundary,
+    # e.g. [-1, 0] at q=4 -> cells {-4, 0})
+    assert grain <= (max(xs) // q) - (min(xs) // q) + 1
     # Python's // floors, so this is the exact contract per row —
     # including negatives, where truncation would differ
     assert all(r.qx == (r.x // q) * q for r in rows)

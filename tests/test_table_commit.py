@@ -323,3 +323,54 @@ def test_truly_concurrent_publishes_serialize(spark, root, purchases):
         next(t for t, o in outcomes.items() if o == "won")
     ]
     assert n == winner_rows, f"committed {n} rows, not the winner's"
+
+
+def test_unpublished_newer_version_is_unreadable(spark, root, purchases):
+    """A publisher that crashed between its rename and its manifest swap
+    leaves v=2 on disk with the manifest still at v=1: read_table must
+    refuse version=2 (never committed) until a retried publish adopts
+    the slot, and the retry must win cleanly."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+
+    # simulate the crash window: staged data renamed into v=2, no swap
+    _, d = tc.stage_version(base.limit(5), root)
+    os.rename(d, os.path.join(root, "v=2"))
+    assert tc.current_version(root) == 1
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        tc.read_table(spark, root, version=2)
+
+    # retried publish replaces the orphan and commits its own data
+    v2, d2 = tc.stage_version(updates, root)
+    assert v2 == 2
+    tc.publish_version(root, 2, d2)
+    assert tc.read_table(spark, root, version=2).count() == updates.count()
+
+
+def test_sweep_stages_reclaims_preinit_and_snapshot_orphans(spark, root, purchases):
+    """sweep_stages must reach the two orphan shapes the version-window
+    logic can't: a crashed FIRST-ever commit (no manifest yet) and the
+    nested per-table stages a crashed stage_snapshot leaves."""
+    base, _ = _split(purchases)
+
+    # crashed first-ever commit: stage only, no manifest
+    tc.stage_version(base.limit(5), root)
+    assert any(d.startswith("_stage_") for d in os.listdir(root))
+    assert tc.vacuum(root, keep=2, sweep_stages=True) == []
+    assert not any(d.startswith("_stage_") for d in os.listdir(root))
+
+    # crashed snapshot staging: nested <root>/<table>/_stage_* dirs
+    staged = tc.stage_snapshot({"fact": base.limit(5)}, root)
+    assert os.path.isdir(staged["stage_dirs"]["fact"])
+    tc.vacuum(root, keep=2, sweep_stages=True)
+    assert not os.path.isdir(staged["stage_dirs"]["fact"])
+
+
+def test_publish_snapshot_requires_stage_dirs(spark, root, purchases):
+    """A staged dict without stage_dirs (pre-upgrade shape, hand-built
+    manifest) must fail with a descriptive ValueError, not KeyError."""
+    base, _ = _split(purchases)
+    staged = tc.stage_snapshot({"fact": base.limit(5)}, root)
+    legacy = {k: v for k, v in staged.items() if k != "stage_dirs"}
+    with pytest.raises(ValueError, match="stage_dirs"):
+        tc.publish_snapshot(root, legacy)
