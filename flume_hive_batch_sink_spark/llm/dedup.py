@@ -1103,29 +1103,12 @@ _LSH_PR_ORACLE = f"""
 """
 
 
-@query("llm_lsh_band_pr", oracle=_LSH_PR_ORACLE)
-def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding precision/recall certificate — the OTHER half of
-    parameter tuning next to llm_minhash_estimate's estimator
-    calibration: run an 8-band × 2-row banding over 16 MinHash
-    positions and measure, against exact all-pairs Jaccard ground
-    truth at J ≥ 0.5, how many true pairs the buckets surface (recall)
-    and how much of the candidate set is junk the verify tier must
-    discard (precision). The geometry is chosen so boundary recall is
-    ~0.90 — the certificate records a REAL operating point, not a
-    vacuous 1.0 (llm_near_dedup_minhash's production geometry is
-    16×2 at J ≥ 0.8 where the miss rate is ~7e-8).
-
-    Portability: signature positions are md5-string minima (MinHash
-    needs only a total order; identical hex digests order identically
-    everywhere), band keys are md5 over the concatenated band slice,
-    so DuckDB replays every bucket bit-exactly — the banding itself is
-    differential-tested, which the production xxhash64 path (not
-    SQL-expressible) structurally cannot be. Plan: signatures and band
-    keys are in-row array expressions (map-side), candidates shuffle
-    only (band_idx, band_key), truth runs the exact token join —
-    affordable precisely because this is the sf0.01 certificate tier."""
-    docs = load(spark, sf_dir, "documents")
+def _lsh_band_pr_frame(docs: DataFrame) -> DataFrame:
+    """The banding-P/R dataflow shared by the full-corpus certificate
+    and its content-addressed-sampled scale sibling: md5 signatures →
+    8×2 banding → candidate pairs by band key, exact all-pairs Jaccard
+    truth over ``docs``, and the precision/recall summary. The truth
+    side is quadratic in len(docs) BY PURPOSE — the caller bounds it."""
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
     )
@@ -1194,3 +1177,68 @@ def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_t"),
         )
     )
+
+
+@query("llm_lsh_band_pr", oracle=_LSH_PR_ORACLE)
+def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding precision/recall certificate — the OTHER half of
+    parameter tuning next to llm_minhash_estimate's estimator
+    calibration: run an 8-band × 2-row banding over 16 MinHash
+    positions and measure, against exact all-pairs Jaccard ground
+    truth at J ≥ 0.5, how many true pairs the buckets surface (recall)
+    and how much of the candidate set is junk the verify tier must
+    discard (precision). The geometry is chosen so boundary recall is
+    ~0.90 — the certificate records a REAL operating point, not a
+    vacuous 1.0 (llm_near_dedup_minhash's production geometry is
+    16×2 at J ≥ 0.8 where the miss rate is ~7e-8).
+
+    Portability: signature positions are md5-string minima (MinHash
+    needs only a total order; identical hex digests order identically
+    everywhere), band keys are md5 over the concatenated band slice,
+    so DuckDB replays every bucket bit-exactly — the banding itself is
+    differential-tested, which the production xxhash64 path (not
+    SQL-expressible) structurally cannot be. Plan: signatures and band
+    keys are in-row array expressions (map-side), candidates shuffle
+    only (band_idx, band_key), truth runs the exact token join —
+    affordable precisely because this is the sf0.01 certificate tier."""
+    docs = load(spark, sf_dir, "documents")
+    return _lsh_band_pr_frame(docs)
+
+
+_LSH_PR_SAMPLED_ORACLE = _LSH_PR_ORACLE.replace(
+    "FROM documents",
+    "FROM documents WHERE substring(md5('"
+    + _EST_SAMPLE_SALT
+    + "' || CAST(doc_id AS VARCHAR)), 1, 2) < '"
+    + _EST_SAMPLE_LT
+    + "'",
+)
+
+
+@query("llm_lsh_band_pr_sampled", oracle=_LSH_PR_SAMPLED_ORACLE)
+def llm_lsh_band_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_lsh_band_pr's 100 TB path — the same banding
+    precision/recall audit over the SAME content-addressed 6.25%
+    document sample as llm_minhash_estimate_sampled (one sample serves
+    the whole calibration tier, so the two certificates describe the
+    same sub-corpus). Ground truth stays exact all-pairs, but
+    quadratic only in the sample; banding P/R measured on a uniform
+    doc sample estimates the full-corpus operating point because both
+    candidate membership and truth membership are per-pair properties
+    — sampling docs uniformly samples pairs uniformly (each pair
+    survives with p², independent of its Jaccard). The oracle replays
+    the sample, signatures, banding, and truth bit-exactly — the
+    certificate never softens at scale."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_EST_SAMPLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            2,
+        )
+        < _EST_SAMPLE_LT
+    )
+    return _lsh_band_pr_frame(docs)

@@ -156,6 +156,7 @@ RISKY = [
     "llm_ann_pq_trained",
     "split_temporal",
     "llm_minhash_estimate_sampled",
+    "llm_lsh_band_pr_sampled",
 ]
 
 
