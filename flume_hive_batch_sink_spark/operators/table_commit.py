@@ -338,8 +338,14 @@ def publish_snapshot(root: str, staged: dict) -> None:
     committed files, not listings."""
     import time as _time
 
+    tables = staged.get("tables")
+    if not isinstance(tables, dict) or not tables:
+        raise ValueError(
+            "staged dict has no 'tables' mapping — publish_snapshot "
+            "requires the dict returned by stage_snapshot"
+        )
     stage_dirs = staged.get("stage_dirs") or {}
-    missing = sorted(set(staged["tables"]) - set(stage_dirs))
+    missing = sorted(set(tables) - set(stage_dirs))
     if missing:
         raise ValueError(
             "staged dict has no stage_dirs entry for "
@@ -446,13 +452,24 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
                             os.path.join(p, sub), ignore_errors=True
                         )
     cur = current_version(root)
-    if cur is None:
-        return []
     versions = sorted(
         int(m.group(1))
         for d in os.listdir(root)
         if (m := re.fullmatch(r"v=(\d+)", d))
-    )
+    ) if os.path.isdir(root) else []
+    if sweep_stages:
+        # v= dirs NEWER than the manifest (or any v= dir when no
+        # manifest exists) are publishers that crashed between their
+        # rename and their manifest swap — provably unpublished (the
+        # manifest is the only commit authority) and unreadable
+        # (read_table refuses them), so the maintenance window may
+        # reclaim them; without this they would leak forever, since
+        # the retention window below only drops OLD versions.
+        for v in [x for x in versions if cur is None or x > cur]:
+            shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+            versions.remove(v)
+    if cur is None:
+        return []
     droppable = [v for v in versions if v <= cur - keep]
     for v in droppable:
         shutil.rmtree(_version_dir(root, v), ignore_errors=True)

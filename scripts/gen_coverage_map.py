@@ -132,10 +132,11 @@ def main() -> None:
     for scale, (log, res) in sweeps.items():
         n_ok = sum(1 for v in res.values() if v == "OK")
         n_fail = sum(1 for v in res.values() if v == "FAIL")
-        mtime = dt.date.fromtimestamp(log.stat().st_mtime)
+        # no mtime here: it is nondeterministic after a fresh clone;
+        # the round-numbered filename carries the provenance
         lines.append(
             f"- Latest full local sweep at {scale}: "
-            f"`{log.relative_to(REPO)}` ({mtime}) — {n_ok} oracle-pass, "
+            f"`{log.relative_to(REPO)}` — {n_ok} oracle-pass, "
             f"{n_fail} fail, {len(res)} keys."
         )
     lines += [

@@ -621,7 +621,9 @@ grain_vals = st.lists(
 @SETTINGS
 def test_ks_quantize_bounds_grain(spark, xs, q):
     """ks_quantize must bound the distinct-value grain by construction
-    (≤ range/q + 1 cells), preserve every row, be the identity at q=1,
+    (≤ floor(max/q) − floor(min/q) + 1 cells — the exact count of
+    width-q cells the value window touches), preserve every row, be
+    the identity at q=1,
     and snap every value — negative or positive — to its true floored
     cell (floor(x/q)·q) — the property that makes dq_ks_test's ECDF
     window safe at any corpus size and its error bound hold for signed

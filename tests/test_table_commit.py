@@ -374,3 +374,21 @@ def test_publish_snapshot_requires_stage_dirs(spark, root, purchases):
     legacy = {k: v for k, v in staged.items() if k != "stage_dirs"}
     with pytest.raises(ValueError, match="stage_dirs"):
         tc.publish_snapshot(root, legacy)
+
+
+def test_sweep_stages_reclaims_orphaned_newer_version(spark, root, purchases):
+    """A v=N newer than the manifest (publisher crashed between rename
+    and swap, never retried) must be reclaimable by the maintenance
+    sweep — it is provably unpublished and unreadable, and without the
+    sweep it would leak a full table copy forever."""
+    base, _ = _split(purchases)
+    tc.commit_version(base, root)
+    _, d = tc.stage_version(base.limit(5), root)
+    os.rename(d, os.path.join(root, "v=2"))  # the crash window
+
+    assert tc.vacuum(root, keep=10) == []  # retention never touches it
+    assert os.path.isdir(os.path.join(root, "v=2"))
+    tc.vacuum(root, keep=10, sweep_stages=True)
+    assert not os.path.isdir(os.path.join(root, "v=2"))
+    assert tc.current_version(root) == 1
+    assert tc.read_table(spark, root).count() == base.count()
