@@ -840,6 +840,8 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs never explode into (pair x K) rows. At 100 TB the
     pair set comes from the LSH candidate generator, making this a
     sampling-free audit that rides the existing dedup dataflow.
+    llm_minhash_estimate_sampled is the corpus-scale sibling (same
+    audit, content-addressed doc sample, sf1-green).
     """
     docs = load(spark, sf_dir, "documents")
     return _minhash_estimate_frame(docs)
@@ -1200,7 +1202,9 @@ def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible) structurally cannot be. Plan: signatures and band
     keys are in-row array expressions (map-side), candidates shuffle
     only (band_idx, band_key), truth runs the exact token join —
-    affordable precisely because this is the sf0.01 certificate tier."""
+    affordable precisely because this is the sf0.01 certificate tier.
+    llm_lsh_band_pr_sampled is the corpus-scale sibling (same audit,
+    content-addressed doc sample, sf1-green)."""
     docs = load(spark, sf_dir, "documents")
     return _lsh_band_pr_frame(docs)
 
