@@ -451,29 +451,47 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
                         shutil.rmtree(
                             os.path.join(p, sub), ignore_errors=True
                         )
-    cur = current_version(root)
-    versions = sorted(
-        int(m.group(1))
-        for d in os.listdir(root)
-        if (m := re.fullmatch(r"v=(\d+)", d))
-    ) if os.path.isdir(root) else []
-    if sweep_stages:
-        # v= dirs NEWER than the manifest (or any v= dir when no
-        # manifest exists) are publishers that crashed between their
-        # rename and their manifest swap — provably unpublished (the
-        # manifest is the only commit authority) and unreadable
-        # (read_table refuses them), so the maintenance window may
-        # reclaim them; without this they would leak forever, since
-        # the retention window below only drops OLD versions.
-        for v in [x for x in versions if cur is None or x > cur]:
-            shutil.rmtree(_version_dir(root, v), ignore_errors=True)
-            versions.remove(v)
-    if cur is None:
+    if not os.path.isdir(root):
         return []
-    droppable = [v for v in versions if v <= cur - keep]
-    for v in droppable:
-        shutil.rmtree(_version_dir(root, v), ignore_errors=True)
-    return droppable
+    # The manifest read and every rmtree below run under the SAME
+    # exclusive flock the publishers hold across their
+    # rename→manifest-swap critical section. Without it, vacuum could
+    # read cur=N-1, then a publisher renames its stage to v=N, and
+    # vacuum's "newer than manifest" sweep deletes v=N in the instant
+    # before the publisher's manifest swap — committing a manifest
+    # pointer to a deleted directory (the round-7 advice's data-loss
+    # window). Under the lock, vacuum sees the table strictly before
+    # or strictly after any publish, never mid-swap. Orphaned
+    # ``_stage_*`` dirs stay outside the lock's protection by design
+    # (stage_version runs unlocked); the maintenance-window rule in
+    # the docstring is still the only guard for in-flight stages.
+    with _commit_lock(root):
+        cur = current_version(root)
+        versions = sorted(
+            int(m.group(1))
+            for d in os.listdir(root)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+        )
+        if sweep_stages:
+            # v= dirs NEWER than the manifest (or any v= dir when no
+            # manifest exists) are publishers that crashed between
+            # their rename and their manifest swap — provably
+            # unpublished (the manifest is the only commit authority)
+            # and unreadable (read_table refuses them), so the
+            # maintenance window may reclaim them; without this they
+            # would leak forever, since the retention window below
+            # only drops OLD versions. A LIVE publisher in that window
+            # cannot be mistaken for a crashed one here: it holds the
+            # flock we are holding.
+            for v in [x for x in versions if cur is None or x > cur]:
+                shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+                versions.remove(v)
+        if cur is None:
+            return []
+        droppable = [v for v in versions if v <= cur - keep]
+        for v in droppable:
+            shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+        return droppable
 
 
 __all__ = [

@@ -392,3 +392,59 @@ def test_sweep_stages_reclaims_orphaned_newer_version(spark, root, purchases):
     assert not os.path.isdir(os.path.join(root, "v=2"))
     assert tc.current_version(root) == 1
     assert tc.read_table(spark, root).count() == base.count()
+
+
+def test_vacuum_cannot_reclaim_inflight_publish(spark, root, purchases, monkeypatch):
+    """A LIVE publisher sitting between its rename and its manifest swap
+    must be invisible to vacuum(sweep_stages=True): the sweep takes the
+    same flock the publisher holds across that window, so it sees the
+    table strictly before or strictly after the publish — never
+    mid-swap. Without the lock (the round-7 advice's race) vacuum reads
+    cur=1, sees the freshly-renamed v=2 as an orphan, deletes it, and
+    the publisher then commits a manifest pointing at a deleted
+    directory — silent loss of committed data."""
+    import threading
+
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)
+    v2, d2 = tc.stage_version(updates, root)
+
+    in_window = threading.Event()
+    vacuum_done = threading.Event()
+    real_replace = os.replace
+
+    def windowed_replace(src, dst):
+        # the publisher's manifest swap: hold the window open long
+        # enough for the racing vacuum to do its worst (on unlocked
+        # code it finishes and sets the event; on locked code it
+        # blocks on the flock and the wait times out)
+        if os.path.basename(dst) == tc._MANIFEST:
+            in_window.set()
+            vacuum_done.wait(timeout=2.0)
+        real_replace(src, dst)
+
+    swept: list[int] = []
+
+    def run_vacuum():
+        in_window.wait(timeout=60)
+        swept.extend(tc.vacuum(root, keep=10, sweep_stages=True))
+        vacuum_done.set()
+
+    t = threading.Thread(target=run_vacuum)
+    t.start()
+    monkeypatch.setattr(tc.os, "replace", windowed_replace)
+    try:
+        tc.publish_version(root, v2, d2)
+    finally:
+        monkeypatch.undo()
+    t.join(60)
+    assert not t.is_alive()
+
+    # the publish must have committed intact: manifest at v=2, the
+    # version dir still on disk, and every row readable
+    assert tc.current_version(root) == 2
+    assert os.path.isdir(os.path.join(root, "v=2"))
+    assert tc.read_table(spark, root).count() == updates.count()
+    # and the serialized vacuum, running after the publish, must have
+    # treated v=2 as current rather than as a crashed orphan
+    assert swept == []
