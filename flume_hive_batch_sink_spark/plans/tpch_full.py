@@ -406,7 +406,7 @@ def pipeline_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy AS (
       SELECT DISTINCT q.l_suppkey
       FROM qty q JOIN part p ON p.p_partkey = q.l_partkey
-      WHERE p.p_name LIKE '%1%' AND q.sq > 100
+      WHERE p.p_name LIKE '%bolt%' AND q.sq > 30
     )
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
@@ -417,14 +417,19 @@ def pipeline_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Potential part promotion (TPC-H Q20 adapted: no ps_availqty —
-    "excess stock" is having shipped >100 units of a matching part in
+    "excess stock" is having shipped >30 units of a matching part in
     the year). Two nested IN subqueries become a chain of semi joins;
     the per-(supplier, part) quantity rollup is the only fact shuffle,
-    and the threshold test is exact decimal."""
+    and the threshold test is exact decimal. The original LIKE '%1%'
+    predicate was vacuous — the fixture's word-pair p_names never
+    contain a digit, so 0 parts matched at every scale factor and the
+    semi-join chain was never attested on a real row (same digit bug
+    the round-8 verdict caught in q9); '%bolt%' selects ~1/6 of parts
+    and sq > 30 keeps a nonempty heavy-supplier set from sf0.01 up."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     qty = li.groupBy("l_suppkey", "l_partkey").agg(
@@ -432,7 +437,7 @@ def pipeline_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heavy = (
         qty.join(F.broadcast(p), qty.l_partkey == p.p_partkey)
-        .filter(F.col("sq") > 100)
+        .filter(F.col("sq") > 30)
         .select("l_suppkey")
         .distinct()
     )

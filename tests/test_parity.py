@@ -34,3 +34,37 @@ def test_entry_smoke(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert set(out.columns) == {"dt", "hr", "event_type", "n_events", "sum_value"}
+
+
+# Keys whose oracle may legitimately return 0 rows at the gate scale.
+# EMPTY ON PURPOSE: a key goes here only when emptiness IS its
+# semantics (none today). A 0-row oracle anywhere else means 0 = 0
+# vacuous parity — the operator's logic is never attested on a real
+# row, the failure class the round-8 verdict caught in
+# pipeline_tpch_q9 (digit LIKE on digit-free p_names), set_except,
+# pipeline_tpch_q20, pipeline_tpch_q22, join_anti and
+# join_spatial_grid (all since re-based on fixture-nonempty grains).
+VACUITY_EXEMPT: frozenset[str] = frozenset()
+
+
+def test_no_oracle_is_vacuous_at_gate_scale():
+    """Registry-wide anti-vacuity gate: every SQL oracle must select at
+    least one row at the driver's gate scale (sf0.01). Runs DuckDB
+    only — cheap (<1 min for all 300) — because the parity test above
+    already proves Spark agrees with the oracle; this proves the
+    agreement is about something."""
+    from oracle import duckdb_connect
+
+    con = duckdb_connect(SF_DIR)
+    vacuous = sorted(
+        key
+        for key, sql in registry.ORACLES.items()
+        if key not in VACUITY_EXEMPT
+        and con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0
+    )
+    assert not vacuous, (
+        f"oracle returns 0 rows at {SF_DIR} for {vacuous}: parity for "
+        "these keys is vacuous (0 = 0). Re-base the query on a grain "
+        "that is nonempty in the fixture, or — only if emptiness is "
+        "the key's documented point — add it to VACUITY_EXEMPT."
+    )
