@@ -746,3 +746,17 @@ def test_split_temporal_single_user_exchange(spark):
     ]
     assert len(args) == 1, f"expected one user_id exchange, got: {args}"
     assert "windowspecdefinition()" not in p  # no empty/global window spec
+
+
+def test_skew_audit_has_no_window(spark):
+    """dq_skew_audit must compile with ZERO WindowExec: its earlier
+    rank-window over the per-key relation was a single-task global
+    sort of |keys| rows — the exact skew failure the audit exists to
+    predict, self-inflicted at cluster-scale key cardinality. The
+    p99 now comes from a broadcast self-join of the count-of-counts
+    histogram; nothing in the plan may sort or window the per-key
+    grain (the 1-row/histogram-sized crossJoins must stay broadcast,
+    never cartesian)."""
+    p = plan(registry.QUERIES["dq_skew_audit"](spark, SF_DIR))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
