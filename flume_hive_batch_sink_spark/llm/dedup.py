@@ -854,14 +854,33 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EST_SAMPLE_SALT = "est-sample-v1:"
 _EST_SAMPLE_LT = "10"
 
-_MINHASH_EST_SAMPLED_ORACLE = _MINHASH_EST_ORACLE.replace(
-    "FROM documents",
-    "FROM documents WHERE substring(md5('"
-    + _EST_SAMPLE_SALT
-    + "' || CAST(doc_id AS VARCHAR)), 1, 2) < '"
-    + _EST_SAMPLE_LT
-    + "'",
-)
+
+def _sampled_oracle(parent_oracle: str) -> str:
+    """Derive a sampled sibling's oracle by scoping the parent's ONE
+    documents scan to the content-addressed sample. Import-time
+    assertion on the occurrence count: a silent ``str.replace`` would
+    rewrite every scan (or none) if a parent ever gained a second
+    ``FROM documents`` — diverging the oracle from the engine without
+    any test noticing (round-7 advice)."""
+    anchor = "FROM documents"
+    n = parent_oracle.count(anchor)
+    if n != 1:
+        raise AssertionError(
+            f"sampled-oracle template expects exactly one {anchor!r} "
+            f"in the parent oracle, found {n} — scope the sample "
+            "predicate by hand for this parent"
+        )
+    return parent_oracle.replace(
+        anchor,
+        "FROM documents WHERE substring(md5('"
+        + _EST_SAMPLE_SALT
+        + "' || CAST(doc_id AS VARCHAR)), 1, 2) < '"
+        + _EST_SAMPLE_LT
+        + "'",
+    )
+
+
+_MINHASH_EST_SAMPLED_ORACLE = _sampled_oracle(_MINHASH_EST_ORACLE)
 
 
 @query("llm_minhash_estimate_sampled", oracle=_MINHASH_EST_SAMPLED_ORACLE)
@@ -1209,14 +1228,7 @@ def llm_lsh_band_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_band_pr_frame(docs)
 
 
-_LSH_PR_SAMPLED_ORACLE = _LSH_PR_ORACLE.replace(
-    "FROM documents",
-    "FROM documents WHERE substring(md5('"
-    + _EST_SAMPLE_SALT
-    + "' || CAST(doc_id AS VARCHAR)), 1, 2) < '"
-    + _EST_SAMPLE_LT
-    + "'",
-)
+_LSH_PR_SAMPLED_ORACLE = _sampled_oracle(_LSH_PR_ORACLE)
 
 
 @query("llm_lsh_band_pr_sampled", oracle=_LSH_PR_SAMPLED_ORACLE)

@@ -1005,10 +1005,16 @@ def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         numerator is an exact BIGINT×DECIMAL sum; the single final
         division is the only float op — deterministic to the last bit.
 
-    Certificate: two-sig-digit bins have within-bin hi/lo ≤ 1.1, so the
-    lost within-bin inequality is bounded by Σ p_b·s_b·G_b ≤ 0.048; the
-    oracle recomputes the EXACT Gini and asserts
-    |G_binned − G_exact| ≤ 0.05 (``err_ok``), while ``gini_binned``
+    Certificate (``err_ok``), computed INDEPENDENTLY on each side:
+    grouped Gini differs from exact Gini by exactly the within-bin
+    inequality Σ p_b·q_b·G_b (value-disjoint bins), and two-sig-digit
+    bins have within-bin hi/lo ≤ r = 1.1, so G_b ≤ (r−1)/(r+1) and the
+    engine asserts the SOUND data-computed bound
+    0.0476·Σ(n_b·s_b)/(N·S) ≤ 0.05 — no global sort needed. The oracle
+    asserts the stronger ground truth |G_binned − G_exact| ≤ 0.05 from
+    a full exact-Gini recomputation; if the bound ever lied, the two
+    sides would disagree and parity would fail (the round-7 advice:
+    the engine previously emitted a constant True). ``gini_binned``
     itself is value-matched exactly. Plan gate in tests/test_plans.py:
     the only Window in the plan runs on the bucket grain, after the
     bucket HashAggregate."""
@@ -1034,7 +1040,12 @@ def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("nb") * F.max("cb").cast("double")),
             6,
         ).alias("gini_binned"),
-        F.lit(True).alias("err_ok"),
+        (
+            F.lit((1.1 - 1.0) / (1.1 + 1.0))
+            * F.sum(F.col("nb") * F.col("sb")).cast("double")
+            / (F.sum("nb").cast("double") * F.max("cb").cast("double"))
+            <= 0.05
+        ).alias("err_ok"),
     )
 
 
