@@ -71,6 +71,12 @@ def parse_sf(sf_dir: str) -> float | str:
 
 def run_spark_bench(sf_dir: str) -> dict:
     sf = parse_sf(sf_dir)
+    # 1-min load average bracketing the run: a noise event like
+    # BENCH_r08 (every query +30-70% on byte-identical code) is then
+    # self-diagnosing from the artifact alone — a loaded machine shows
+    # up as loadavg >> the bench's own core usage, no judge rerun
+    # needed to adjudicate plan-change vs machine-noise.
+    load_before = round(os.getloadavg()[0], 2)
     load_all_operators()
     spark = get_spark("bench")
 
@@ -185,6 +191,10 @@ def run_spark_bench(sf_dir: str) -> dict:
         "sf": sf,
         "plan_build_s": round(plan_build, 4),
         "spread": spread,
+        "loadavg_1m": {
+            "before": load_before,
+            "after": round(os.getloadavg()[0], 2),
+        },
     }
 
 
