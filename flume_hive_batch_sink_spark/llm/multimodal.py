@@ -1102,3 +1102,92 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id BIGINT, patch_row INT, patch_col INT, "
         "psum BIGINT, pmin BIGINT, pmax BIGINT",
     )
+
+
+# SDXL-style aspect-ratio bucket set: each image joins the bucket whose
+# log-aspect is nearest (ties broken by list position via the packed
+# argmin key). One list drives BOTH engines' expressions.
+_ASPECT_BUCKETS = (
+    (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16), (2, 1), (1, 2)
+)
+
+
+def _aspect_oracle() -> str:
+    keys = ", ".join(
+        f"CAST(ROUND(abs(ln(w / h) - ln({a}.0 / {b}.0)) * 1000000000.0, 0) "
+        f"AS BIGINT) * 16 + {i}"
+        for i, (a, b) in enumerate(_ASPECT_BUCKETS)
+    )
+    labels = " ".join(
+        f"WHEN {i} THEN '{a}:{b}'" for i, (a, b) in enumerate(_ASPECT_BUCKETS)
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(64 + vec_id % 512 AS INT) AS w,
+             CAST(64 + (vec_id * 7) % 512 AS INT) AS h
+      FROM embeddings
+    ), keyed AS (
+      SELECT least({keys}) AS mk FROM m
+    ), per AS (
+      SELECT CAST(mk % 16 AS INT) AS idx, mk // 16 AS du FROM keyed
+    )
+    SELECT CASE idx {labels} END AS ratio,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(ROUND(CAST(SUM(du) AS DOUBLE) / count(*) / 1000000000.0, 6)
+                AS DOUBLE) AS avg_logdist
+    FROM per GROUP BY idx
+    """
+
+
+@query("multimodal_aspect_bucket", oracle=_aspect_oracle())
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing — the image-training batching op (SDXL
+    data prep popularized it): variable-sized images can only be
+    tensor-batched with images of the SAME target shape, so each image
+    is assigned to the canonical aspect bucket nearest in log-aspect
+    space (log, so 2:1 and 1:2 are symmetric errors), and the report
+    is per-bucket volume plus mean residual log-distance (how much
+    crop/squash the bucket costs — the quality/packing trade a
+    curation run tunes the bucket set by).
+
+    Engine-portable argmin without a window or UDF: each of the 9
+    candidate buckets contributes one packed BIGINT key
+    round(|Δlog-aspect|·1e9)·16 + idx, and least() picks the winner —
+    distance in the high bits, list-position tiebreak in the low bits,
+    the same integer-packing idiom as agg_argmax_minmax_by. All
+    map-side until the 9-group final agg; residual sums are exact
+    integers (nanolog units), so the mean is aggregation-order-free.
+    Metadata-only (meta.width/height) — no payload decode, so the scan
+    prunes the binary column entirely."""
+    t = multimodal_table(spark, sf_dir)
+    lograt = F.log(F.col("meta.width").cast("double") / F.col("meta.height").cast("double"))
+    keys = [
+        F.round(
+            F.abs(lograt - F.log(F.lit(float(a)) / F.lit(float(b))))
+            * 1000000000.0,
+            0,
+        ).cast("long")
+        * 16
+        + i
+        for i, (a, b) in enumerate(_ASPECT_BUCKETS)
+    ]
+    per = t.select(F.least(*keys).alias("mk")).select(
+        (F.col("mk") % 16).cast("int").alias("idx"),
+        F.expr("mk div 16").alias("du"),
+    )
+    label = F.col("idx")
+    ratio = None
+    for i, (a, b) in enumerate(_ASPECT_BUCKETS):
+        ratio = (
+            F.when(label == i, f"{a}:{b}")
+            if ratio is None
+            else ratio.when(label == i, f"{a}:{b}")
+        )
+    return per.groupBy("idx").agg(
+        F.count("*").alias("n_images"),
+        F.round(F.sum("du") / F.count("*") / 1000000000.0, 6).alias(
+            "avg_logdist"
+        ),
+    ).select(
+        ratio.alias("ratio"), "n_images", "avg_logdist"
+    )

@@ -705,3 +705,94 @@ def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "llm_dsir_importance",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, substring(md5(w), 1, 2) AS b FROM words
+    ), counts AS (
+      SELECT b,
+             SUM(CASE WHEN source IN ('src0','src1','src2')
+                      THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN source IN ('src0','src1','src2')
+                      THEN 0 ELSE 1 END) AS cr
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr
+      FROM counts
+    ), lut AS (
+      SELECT b,
+             CAST(ROUND(ln(((ct + 1.0) / (nt + 256.0))
+                           / ((cr + 1.0) / (nr + 256.0))), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM counts, tot
+    )
+    SELECT t.doc_id, t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(SUM(l.term) AS DOUBLE), 6) AS DOUBLE) AS log_w,
+           CAST(ROUND(CAST(SUM(l.term) AS DOUBLE), 6) AS DOUBLE) > 0.0
+             AS keep
+    FROM toks t JOIN lut l ON t.b = l.b
+    GROUP BY t.doc_id, t.source
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Data Selection with Importance
+    Resampling, Xie et al. 2023): score every raw document by how much
+    more likely its hashed-unigram bag is under a TARGET-domain LM
+    (sources src0-2 stand in for the curated target) than under the
+    raw-corpus LM, log w(x) = Σ_tokens [ln p_target(b) − ln p_raw(b)],
+    with add-one smoothing over B=256 feature buckets; keep = log_w>0
+    is the resampling decision a pretraining pipeline thresholds or
+    Gumbel-tops samples on.
+
+    The hashed feature space is the whole design point at 100 TB: the
+    two LMs are ONE 256-row aggregate regardless of corpus size (vs a
+    vocabulary-sized model), so scoring is a map-side explode, a
+    broadcast join against the 256-row log-ratio LUT, and one per-doc
+    agg shuffle — no vocabulary shuffle, no driver state. Buckets come
+    from md5 hex (engine-portable, same idiom as split_train_test);
+    each per-token log-ratio is rounded to 9 dp and DECIMAL-summed so
+    per-doc totals are aggregation-order-free across engines (the
+    llm_unigram_logprob convention), making the keep bit deterministic
+    rather than float-boundary-flaky."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "source", F.substring(F.md5("w"), 1, 2).alias("b"))
+    is_target = F.col("source").isin("src0", "src1", "src2")
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    lut = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) / (F.col("nt") + 256.0))
+                / ((F.col("cr") + 1.0) / (F.col("nr") + 256.0))
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("term"),
+    )
+    log_w = F.round(F.sum("term").cast("double"), 6)
+    return (
+        toks.join(F.broadcast(lut), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            log_w.alias("log_w"),
+            (log_w > 0.0).alias("keep"),
+        )
+    )

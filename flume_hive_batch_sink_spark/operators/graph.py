@@ -621,3 +621,76 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_directed_edges"),
         F.round(F.corr("dsrc", "ddst"), 6).alias("assortativity"),
     )
+
+
+@query(
+    "graph_copurchase_projection",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS support
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ), freq AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS f FROM op GROUP BY p
+    ), tot AS (
+      SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM op
+    )
+    SELECT part_a, part_b, support,
+           CAST(ROUND(support * t.n / (fa.f * fb.f), 6) AS DOUBLE) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.p
+    JOIN freq fb ON part_b = fb.p, tot t
+    WHERE support >= 2
+    """,
+)
+def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the order-part graph onto part-part
+    co-purchase edges — the market-basket / co-occurrence construction
+    behind 'bought together' recommenders and co-occurrence embeddings:
+    two parts are linked iff they share an order, weighted by support
+    (co-orders) and lift = P(a,b)/(P(a)P(b)) (support·N / f_a·f_b),
+    min-support 2 pruning the hapax tail.
+
+    Scale shape: the quadratic step is per-ORDER pair expansion via a
+    self-equi-join of the distinct (order, part) relation on the order
+    key — fan-out bounded by basket size squared (TPC-H baskets ≤ 7,
+    real carts similar), never |parts|²; the id-ordered a.p < b.p
+    orientation halves it and makes the pair key canonical, exactly
+    like graph_triangles' compact-forward orientation. Per-part
+    frequencies are a dim-sized aggregate joined back broadcast; the
+    1-row order total rides along as a broadcast cross join (never
+    collected). Support filtering happens after the pair hash-agg,
+    whose map-side combine absorbs the duplicate pair stream."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    freq = op.groupBy("p").agg(F.count("*").alias("f"))
+    tot = op.agg(F.countDistinct("o").cast("double").alias("n"))
+    fa = freq.select(F.col("p").alias("part_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("p").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support") * F.col("n") / (F.col("fa") * F.col("fb")), 6
+            ).alias("lift"),
+        )
+    )

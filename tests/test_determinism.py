@@ -157,6 +157,12 @@ RISKY = [
     "split_temporal",
     "llm_minhash_estimate_sampled",
     "llm_lsh_band_pr_sampled",
+    # round-9 additions: decimal-summed log-ratio keep flag (DSIR),
+    # packed float-argmin bucket assignment, support-thresholded pair
+    # counts over a self-join
+    "llm_dsir_importance",
+    "multimodal_aspect_bucket",
+    "graph_copurchase_projection",
 ]
 
 
