@@ -760,3 +760,41 @@ def test_skew_audit_has_no_window(spark):
     p = plan(registry.QUERIES["dq_skew_audit"](spark, SF_DIR))
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_lut_broadcast_no_vocab_shuffle(spark):
+    """llm_dsir_importance's design point is that the LM is a 256-row
+    LUT: scoring must join it BROADCAST (never a sort-merge join on a
+    vocabulary-sized key) and the plan must be window- and
+    cartesian-free — tokens flow map-side into the per-doc aggregate."""
+    p = plan(registry.QUERIES["llm_dsir_importance"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Window" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_aspect_bucket_prunes_payload_and_stays_map_side(spark):
+    """multimodal_aspect_bucket is metadata-only: the scan must read
+    vec_id alone (the binary payload and the embedding array never
+    leave parquet), and the whole computation is one 9-group aggregate
+    — exactly one Exchange, zero joins, zero windows."""
+    p = plan(registry.QUERIES["multimodal_aspect_bucket"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "ReadSchema: struct<vec_id:bigint>" in p
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "Window" not in tree
+
+
+def test_copurchase_freq_joins_broadcast(spark):
+    """graph_copurchase_projection's per-part frequency tables are
+    dim-sized and must come back as broadcast joins; nothing in the
+    plan may be a cartesian product or a window (the pair expansion is
+    an equi-join on the order key)."""
+    p = plan(registry.QUERIES["graph_copurchase_projection"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in tree
+    assert "Window" not in tree
