@@ -1258,3 +1258,204 @@ def llm_lsh_band_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         < _EST_SAMPLE_LT
     )
     return _lsh_band_pr_frame(docs)
+
+
+# Banding operating-point sweep: every (bands, rows) factorization of
+# the 16-hash signature. One tuple list drives BOTH engines.
+_SWEEP_SPLITS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _sweep_coll_sql(b: int, r: int) -> str:
+    """DuckDB collision predicate for a (b, r) split: some band has all
+    r signature positions equal."""
+    return " OR ".join(
+        "("
+        + " AND ".join(f"a.s{i * r + j} = b.s{i * r + j}" for j in range(r))
+        + ")"
+        for i in range(b)
+    )
+
+
+def _sweep_oracle() -> str:
+    sig_cols = ", ".join(
+        f"{_pr_sig_sql(k)} AS s{k}" for k in range(_PR_K)
+    )
+    flag_cols = ", ".join(
+        f"({_sweep_coll_sql(b, r)}) AS c_{b}_{r}" for b, r in _SWEEP_SPLITS
+    )
+    agg_cols = ", ".join(
+        f"SUM(CASE WHEN c_{b}_{r} THEN 1 ELSE 0 END) AS cand_{b}_{r}, "
+        f"SUM(CASE WHEN c_{b}_{r} AND is_truth THEN 1 ELSE 0 END) AS hit_{b}_{r}"
+        for b, r in _SWEEP_SPLITS
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {b} AS n_bands, {r} AS rows_per_band,
+            CAST(cand_{b}_{r} AS BIGINT) AS n_candidates,
+            CAST(n_truth AS BIGINT) AS n_truth,
+            CAST(hit_{b}_{r} AS BIGINT) AS n_hits,
+            CASE WHEN cand_{b}_{r} = 0 THEN NULL
+                 ELSE CAST(ROUND(hit_{b}_{r} / CAST(cand_{b}_{r} AS DOUBLE), 6)
+                      AS DOUBLE) END AS precision_at_t,
+            CASE WHEN n_truth = 0 THEN NULL
+                 ELSE CAST(ROUND(hit_{b}_{r} / CAST(n_truth AS DOUBLE), 6)
+                      AS DOUBLE) END AS recall_at_t
+            FROM agg"""
+        for b, r in _SWEEP_SPLITS
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE substring(md5('{_EST_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                      1, 2) < '{_EST_SAMPLE_LT}'
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM docs
+    ),
+    sig AS (SELECT doc_id, t, {sig_cols} FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.t, b.t)) AS ni,
+             len(a.t) AS na, len(b.t) AS nb,
+             {flag_cols}
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    flagged AS (
+      SELECT *, CAST(ni AS DOUBLE) / (na + nb - ni) >= {_PR_T} AS is_truth
+      FROM pairs
+    ),
+    agg AS (
+      SELECT {agg_cols},
+             SUM(CASE WHEN is_truth THEN 1 ELSE 0 END) AS n_truth
+      FROM flagged
+    )
+    {rows}
+    """
+
+
+@query("llm_lsh_band_sweep", oracle=_sweep_oracle())
+def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding operating-point sweep — the tuning DECISION the two
+    calibration certificates (llm_lsh_band_pr*, llm_minhash_estimate*)
+    feed: evaluate every (bands × rows) factorization of the 16-hash
+    MinHash signature — (16,1), (8,2), (4,4), (2,8), (1,16) — against
+    exact-Jaccard ground truth (J ≥ 0.5) on the shared 6.25%
+    content-addressed calibration sample, reporting measured
+    candidate volume / precision / recall per split. More rows per
+    band = sharper S-curve = fewer false candidates but missed
+    borderline dups; the sweep turns that theory into the corpus's OWN
+    measured trade-off, which is how a production run picks (b, r)
+    before committing a petabyte pass.
+
+    Collisions are computed from the ACTUAL signatures on the sampled
+    all-pairs relation (∃ band with all r positions equal — exact
+    replay of what each banding would do, not the 1−(1−s^r)^b
+    approximation), so the whole sweep is ONE pass: one quadratic-in-
+    sample pair join carrying 16 signature columns, one aggregate
+    producing all ten counters, five constant rows off that 1-row
+    aggregate. Integer counts make precision/recall bit-portable; both
+    are rounded from exact integers, NULL-guarded on empty candidate
+    sets."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.substring(
+            F.md5(F.concat(F.lit(_EST_SAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < _EST_SAMPLE_LT
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+
+    def sig(k: int) -> F.Column:
+        pre = F.lit(f"{k}:")
+        return F.array_min(
+            F.transform(F.col("t"), lambda x: F.md5(F.concat(pre, x)))
+        )
+
+    sigs = toks.select(
+        "doc_id", "t", *[sig(k).alias(f"s{k}") for k in range(_PR_K)]
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("t").alias("ta"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(_PR_K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(_PR_K)],
+    )
+
+    def coll(nb: int, r: int) -> F.Column:
+        band_eq = []
+        for i in range(nb):
+            eq = None
+            for j in range(r):
+                term = F.col(f"a{i * r + j}") == F.col(f"b{i * r + j}")
+                eq = term if eq is None else (eq & term)
+            band_eq.append(eq)
+        out = band_eq[0]
+        for e in band_eq[1:]:
+            out = out | e
+        return out
+
+    ni = F.size(F.array_intersect("ta", "tb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        (
+            ni.cast("double")
+            / (F.size("ta") + F.size("tb") - ni)
+            >= _PR_T
+        ).alias("is_truth"),
+        *[coll(nb, r).alias(f"c_{nb}_{r}") for nb, r in _SWEEP_SPLITS],
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("is_truth"), 1).otherwise(0)).alias("n_truth"),
+        *[
+            c
+            for nb, r in _SWEEP_SPLITS
+            for c in (
+                F.sum(F.when(F.col(f"c_{nb}_{r}"), 1).otherwise(0)).alias(
+                    f"cand_{nb}_{r}"
+                ),
+                F.sum(
+                    F.when(F.col(f"c_{nb}_{r}") & F.col("is_truth"), 1).otherwise(0)
+                ).alias(f"hit_{nb}_{r}"),
+            )
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(nb).alias("n_bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.col(f"cand_{nb}_{r}").alias("n_candidates"),
+                    F.col("n_truth").alias("n_truth"),
+                    F.col(f"hit_{nb}_{r}").alias("n_hits"),
+                )
+                for nb, r in _SWEEP_SPLITS
+            ]
+        )
+    ).alias("s")
+    return agg.select(rows).select(
+        F.col("s.n_bands").alias("n_bands"),
+        F.col("s.rows_per_band").alias("rows_per_band"),
+        F.col("s.n_candidates").alias("n_candidates"),
+        F.col("s.n_truth").alias("n_truth"),
+        F.col("s.n_hits").alias("n_hits"),
+        F.when(
+            F.col("s.n_candidates") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("s.n_hits") / F.col("s.n_candidates").cast("double"), 6
+            )
+        )
+        .alias("precision_at_t"),
+        F.when(F.col("s.n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("s.n_hits") / F.col("s.n_truth").cast("double"), 6)
+        )
+        .alias("recall_at_t"),
+    )

@@ -163,6 +163,7 @@ RISKY = [
     "llm_dsir_importance",
     "multimodal_aspect_bucket",
     "graph_copurchase_projection",
+    "llm_lsh_band_sweep",
 ]
 
 
