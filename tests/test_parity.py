@@ -68,3 +68,29 @@ def test_no_oracle_is_vacuous_at_gate_scale():
         "that is nonempty in the fixture, or — only if emptiness is "
         "the key's documented point — add it to VACUITY_EXEMPT."
     )
+
+
+def test_driver_sample_rotation_unseen_first():
+    """queries()/oracle_sql() must list keys never present in a
+    committed CORRECTNESS_r*.json before keys already driver-checked
+    (the self-rotating coverage contract), keep the two dicts aligned,
+    and lose no keys relative to the registry."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as e
+
+    qs = list(e.queries())
+    assert set(qs) == set(registry.QUERIES)
+    assert list(e.oracle_sql()) == [k for k in qs if k in registry.ORACLES]
+    seen: set[str] = set()
+    repo = pathlib.Path(e.__file__).resolve().parent
+    for f in repo.glob("CORRECTNESS_r*.json"):
+        doc = json.loads(f.read_text())
+        if isinstance(doc, dict):
+            seen.update(doc)
+    if seen:
+        first_seen_idx = min(i for i, k in enumerate(qs) if k in seen)
+        assert all(k in seen for k in qs[first_seen_idx:]), (
+            "a never-driver-checked key sorts after a driver-checked one"
+        )
