@@ -339,3 +339,24 @@ def test_minhash_family_is_literal_seeded(spark):
     b1 = sorted(map(tuple, D.minhash_bands(tok_arr).collect()))
     b2 = sorted(map(tuple, D.minhash_bands(tok_arr).collect()))
     assert b1 == b2
+
+
+def test_band_sweep_collision_sets_nest(spark):
+    """(16,1) ⊇ (8,2) ⊇ (4,4) ⊇ (2,8) ⊇ (1,16): a pair colliding under
+    a coarser split must collide under every finer one, because each
+    r-run of equal signature positions contains aligned complete
+    sub-runs of every smaller power-of-two r. So candidate and hit
+    counts — and therefore recall — are monotone non-increasing as
+    rows-per-band grows, for ANY corpus. n_truth is split-invariant."""
+    from flume_hive_batch_sink_spark.llm.dedup import llm_lsh_band_sweep
+
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in llm_lsh_band_sweep(spark, SF_DIR).collect()
+    }
+    order = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    assert set(rows) == set(order)
+    assert len({rows[k]["n_truth"] for k in order}) == 1
+    for prev, nxt in zip(order, order[1:]):
+        assert rows[prev]["n_candidates"] >= rows[nxt]["n_candidates"]
+        assert rows[prev]["n_hits"] >= rows[nxt]["n_hits"]
