@@ -857,3 +857,105 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     )
+
+
+@query(
+    "llm_bm25_topdocs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id
+    ),
+    avgl AS (SELECT CAST(SUM(len) AS DOUBLE) / count(*) AS avglen FROM dl),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    idf AS (
+      SELECT w, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq, nd
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(idf.idf * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.len / avgl.avglen))),
+                        9) AS DECIMAL(20,9)) AS term_score
+      FROM tf JOIN idf ON tf.w = idf.w
+      JOIN dl ON tf.doc_id = dl.doc_id, avgl
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def llm_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Spärck Jones, k1=1.2 b=0.75)
+    for a fixed query ('spark join window') — the lexical-retrieval
+    primitive a curation stack uses for query-relevance mining and
+    contamination hunts (find the training docs a benchmark query
+    would retrieve). Top-10 documents by score, doc_id tiebreak.
+
+    Dataflow: the token stream feeds two aggregates — per-doc length
+    (all tokens) and per-(doc, query-term) tf (the IN filter pushes
+    into the scan side of the agg, so the tf branch only shuffles
+    matching tokens). df/idf is a |query|-row LUT joined broadcast;
+    avgdl is a 1-row broadcast; the ranked cut compiles to
+    TakeOrderedAndProject (top-k heap per partition), never a global
+    sort. Per-term scores are rounded to 9 dp then DECIMAL-summed
+    (order-free, the llm_unigram_logprob convention) and the final
+    ORDER BY ties on rounded score break by doc_id, so the cut line is
+    bit-deterministic across engines."""
+    d = load(spark, sf_dir, "documents")
+    q_terms = ("spark", "join", "window")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    avgl = dl.agg(
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*q_terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n"))
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
+        "w",
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgl))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (0.25 + 0.75 * (F.col("len").cast("double") / F.col("avglen")))
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("term_score").cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

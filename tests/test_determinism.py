@@ -164,6 +164,7 @@ RISKY = [
     "multimodal_aspect_bucket",
     "graph_copurchase_projection",
     "llm_lsh_band_sweep",
+    "llm_bm25_topdocs",
 ]
 
 

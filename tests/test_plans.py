@@ -798,3 +798,14 @@ def test_copurchase_freq_joins_broadcast(spark):
     assert tree.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in tree
     assert "Window" not in tree
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """llm_bm25_topdocs' ranked cut must compile to
+    TakeOrderedAndProject (per-partition top-k heap), never a global
+    Sort feeding a Limit; the idf/avgdl sides come back broadcast."""
+    p = plan(registry.QUERIES["llm_bm25_topdocs"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
