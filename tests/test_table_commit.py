@@ -448,3 +448,75 @@ def test_vacuum_cannot_reclaim_inflight_publish(spark, root, purchases, monkeypa
     # and the serialized vacuum, running after the publish, must have
     # treated v=2 as current rather than as a crashed orphan
     assert swept == []
+
+
+def test_commit_vacuum_read_stress(spark, root, purchases):
+    """Interleaving stress: three writers running the documented
+    optimistic-retry loop, a maintenance thread looping the
+    RETENTION-ONLY vacuum (sweep_stages stays False: the docstring's
+    maintenance-window rule says orphan sweeping may not run while a
+    stage is in flight, because the filesystem cannot tell a crashed
+    stage from a slow one — a first draft of this test violated that
+    and the sweep correctly shredded live stages), and two readers
+    hammering read_table — every read must observe a COMPLETE
+    committed version (row count is one of the writers' table sizes,
+    never a partial/mixed state, never a deleted current version),
+    every writer must land all its commits, and the final version
+    number must equal the number of successful publishes."""
+    import threading
+
+    base, _ = _split(purchases)
+    sizes = {1: 1, 2: 2, 3: 3}  # writer i commits an i-row table
+    frames = {i: base.limit(n) for i, n in sizes.items()}
+    tc.commit_version(base.limit(5), root)  # v=1, 5 rows
+
+    commits_per_writer = 4
+    errors: list[str] = []
+    done = threading.Event()
+
+    def writer(i):
+        try:
+            for _ in range(commits_per_writer):
+                while True:
+                    v, d = tc.stage_version(frames[i], root)
+                    try:
+                        tc.publish_version(root, v, d)
+                        break
+                    except tc.ConcurrentCommitError:
+                        shutil.rmtree(d, ignore_errors=True)
+        except Exception as ex:  # pragma: no cover - diagnostic
+            errors.append(f"writer{i}: {ex!r}")
+
+    def maintenance():
+        while not done.is_set():
+            try:
+                tc.vacuum(root, keep=100)
+            except Exception as ex:  # pragma: no cover - diagnostic
+                errors.append(f"vacuum: {ex!r}")
+
+    valid = {5, *sizes.values()}
+
+    def reader():
+        while not done.is_set():
+            try:
+                n = tc.read_table(spark, root).count()
+            except Exception as ex:  # pragma: no cover - diagnostic
+                errors.append(f"reader: {ex!r}")
+                return
+            if n not in valid:
+                errors.append(f"reader saw torn count {n}")
+                return
+
+    ws = [threading.Thread(target=writer, args=(i,)) for i in sizes]
+    aux = [threading.Thread(target=maintenance)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    [t.start() for t in aux]
+    [t.start() for t in ws]
+    [t.join(300) for t in ws]
+    done.set()
+    [t.join(60) for t in aux]
+
+    assert not errors, errors
+    assert tc.current_version(root) == 1 + 3 * commits_per_writer
+    assert tc.read_table(spark, root).count() in valid
