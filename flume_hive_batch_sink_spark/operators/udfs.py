@@ -35,8 +35,11 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (value → tier label). Kept off hot paths;
     the CASE WHEN twin in fn_cond is the production form."""
 
+    # no type hints on the closure: PySpark 4 tries to infer the eval
+    # type from them and warns when they don't name a supported pattern
+    # — the decorator's returnType is the whole contract here
     @udf("string")
-    def tier(value: float) -> str:
+    def tier(value):
         if value >= 400:
             return "high"
         if value >= 100:
