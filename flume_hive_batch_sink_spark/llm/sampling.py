@@ -762,10 +762,19 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_unigram_logprob convention), making the keep bit deterministic
     rather than float-boundary-flaky."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    return dsir_importance(d, F.col("source").isin("src0", "src1", "src2"))
+
+
+def dsir_importance(docs: DataFrame, is_target) -> DataFrame:
+    """Library form of the DSIR scorer: ``docs`` needs (doc_id, source,
+    text); ``is_target`` is any boolean Column marking the target-domain
+    rows (a source list, a quality flag, a join-derived marker). Returns
+    (doc_id, source, n_tokens, log_w, keep). The registered key above is
+    the fixture instantiation; pipelines call this directly with their
+    own target predicate."""
+    toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", "source", F.substring(F.md5("w"), 1, 2).alias("b"))
-    is_target = F.col("source").isin("src0", "src1", "src2")
     counts = toks.groupBy("b").agg(
         F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
         F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),

@@ -911,8 +911,24 @@ def llm_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ties on rounded score break by doc_id, so the cut line is
     bit-deterministic across engines."""
     d = load(spark, sf_dir, "documents")
-    q_terms = ("spark", "join", "window")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return bm25_topdocs(d, ("spark", "join", "window"), k=10)
+
+
+def bm25_topdocs(
+    docs: DataFrame,
+    q_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Library form of the BM25 ranker: ``docs`` needs (doc_id, text);
+    ``q_terms`` is the tokenized query. Returns the top-``k``
+    (doc_id, n_terms, bm25) rows with a doc_id tiebreak. The registered
+    key above is the fixture instantiation (fixed query, default
+    k1/b); retrieval or contamination pipelines call this per query —
+    for a query BATCH, union the per-query LUTs with a query_id column
+    and rank per query instead of calling this in a loop."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
     avgl = dl.agg(
         (F.sum("len").cast("double") / F.count("*")).alias("avglen")
@@ -923,7 +939,7 @@ def llm_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    nd = d.agg(F.count("*").alias("n"))
+    nd = docs.agg(F.count("*").alias("n"))
     idf = dfreq.crossJoin(F.broadcast(nd)).select(
         "w",
         F.log(
@@ -938,11 +954,14 @@ def llm_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(
                 F.col("idf")
-                * (F.col("tf") * 2.2)
+                * (F.col("tf") * F.lit(k1 + 1.0))
                 / (
                     F.col("tf")
-                    + 1.2
-                    * (0.25 + 0.75 * (F.col("len").cast("double") / F.col("avglen")))
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("len").cast("double") / F.col("avglen"))
+                    )
                 ),
                 9,
             )
@@ -957,5 +976,5 @@ def llm_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_score").cast("double"), 6).alias("bm25"),
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
+        .limit(k)
     )
