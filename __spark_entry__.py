@@ -80,7 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL per key (omitted ⇒ rows-only check).
-    Same rotation as queries() so the dicts stay aligned for consumers
-    that zip them positionally."""
+    Same rotation as queries(), so the RELATIVE order of shared keys is
+    consistent — but keys without an oracle are dropped here, so only
+    keyed lookup is alignment-safe; a positional zip against queries()
+    would misalign after the first oracle-less key."""
     order = _coverage_rotation(list(registry.QUERIES))
     return {k: registry.ORACLES[k] for k in order if k in registry.ORACLES}

@@ -1113,23 +1113,40 @@ _ASPECT_BUCKETS = (
 
 
 def _aspect_oracle() -> str:
+    # Assignment key is EXACT integer arithmetic: |ln(w/h) - ln(a/b)| =
+    # ln(max(w*b, h*a) / min(w*b, h*a)) and ln is monotone, so ordering
+    # buckets by the rational max/min orders them by log-distance. The
+    # rational is keyed as (p * 2^20) // q — integer division, so the
+    # packed argmin never depends on libm/JVM ln agreeing to the last
+    # ulp (round-9 ADVICE: a nanolog .5-boundary tie could flip a
+    # bucket's n_images across platforms). ln survives only in the
+    # reported residual metric, where a last-ulp wobble is absorbed by
+    # the 6-dp rounding, not in any discrete choice.
     keys = ", ".join(
-        f"CAST(ROUND(abs(ln(w / h) - ln({a}.0 / {b}.0)) * 1000000000.0, 0) "
-        f"AS BIGINT) * 16 + {i}"
+        f"(greatest(w * {b}, h * {a}) * 1048576) "
+        f"// least(w * {b}, h * {a}) * 16 + {i}"
         for i, (a, b) in enumerate(_ASPECT_BUCKETS)
     )
     labels = " ".join(
         f"WHEN {i} THEN '{a}:{b}'" for i, (a, b) in enumerate(_ASPECT_BUCKETS)
     )
+    dus = " ".join(
+        f"WHEN {i} THEN CAST(ROUND(ln(CAST(greatest(w * {b}, h * {a}) "
+        f"AS DOUBLE) / least(w * {b}, h * {a})) * 1000000000.0, 0) "
+        f"AS BIGINT)"
+        for i, (a, b) in enumerate(_ASPECT_BUCKETS)
+    )
     return f"""
     WITH m AS (
-      SELECT CAST(64 + vec_id % 512 AS INT) AS w,
-             CAST(64 + (vec_id * 7) % 512 AS INT) AS h
+      SELECT CAST(64 + vec_id % 512 AS BIGINT) AS w,
+             CAST(64 + (vec_id * 7) % 512 AS BIGINT) AS h
       FROM embeddings
     ), keyed AS (
-      SELECT least({keys}) AS mk FROM m
+      SELECT w, h, least({keys}) AS mk FROM m
     ), per AS (
-      SELECT CAST(mk % 16 AS INT) AS idx, mk // 16 AS du FROM keyed
+      SELECT CAST(mk % 16 AS INT) AS idx,
+             CASE CAST(mk % 16 AS INT) {dus} END AS du
+      FROM keyed
     )
     SELECT CASE idx {labels} END AS ratio,
            CAST(count(*) AS BIGINT) AS n_images,
@@ -1150,30 +1167,47 @@ def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     crop/squash the bucket costs — the quality/packing trade a
     curation run tunes the bucket set by).
 
-    Engine-portable argmin without a window or UDF: each of the 9
-    candidate buckets contributes one packed BIGINT key
-    round(|Δlog-aspect|·1e9)·16 + idx, and least() picks the winner —
-    distance in the high bits, list-position tiebreak in the low bits,
-    the same integer-packing idiom as agg_argmax_minmax_by. All
-    map-side until the 9-group final agg; residual sums are exact
-    integers (nanolog units), so the mean is aggregation-order-free.
+    Engine-portable argmin without a window or UDF — and without ANY
+    float in the discrete choice: |ln(w/h) − ln(a/b)| =
+    ln(max(w·b, h·a)/min(w·b, h·a)) and ln is monotone, so buckets
+    order by the exact integer rational; each candidate contributes the
+    packed BIGINT key (max·2²⁰ div min)·16 + idx and least() picks the
+    winner — distance in the high bits, list-position tiebreak in the
+    low bits, the same integer-packing idiom as agg_argmax_minmax_by.
+    Integer div is bit-identical across JVM and libm, so assignment
+    (hence n_images) can never flip on a last-ulp ln disagreement; ln
+    appears only in the residual metric, where 6-dp rounding absorbs
+    ulp wobble. All map-side until the 9-group final agg.
     Metadata-only (meta.width/height) — no payload decode, so the scan
     prunes the binary column entirely."""
     t = multimodal_table(spark, sf_dir)
-    lograt = F.log(F.col("meta.width").cast("double") / F.col("meta.height").cast("double"))
-    keys = [
-        F.round(
-            F.abs(lograt - F.log(F.lit(float(a)) / F.lit(float(b))))
+    keys = ", ".join(
+        f"(greatest(w * {b}, h * {a}) * 1048576) "
+        f"div least(w * {b}, h * {a}) * 16 + {i}"
+        for i, (a, b) in enumerate(_ASPECT_BUCKETS)
+    )
+    du = None
+    for i, (a, b) in enumerate(_ASPECT_BUCKETS):
+        res = F.round(
+            F.log(
+                F.greatest(F.col("w") * b, F.col("h") * a).cast("double")
+                / F.least(F.col("w") * b, F.col("h") * a)
+            )
             * 1000000000.0,
             0,
         ).cast("long")
-        * 16
-        + i
-        for i, (a, b) in enumerate(_ASPECT_BUCKETS)
-    ]
-    per = t.select(F.least(*keys).alias("mk")).select(
-        (F.col("mk") % 16).cast("int").alias("idx"),
-        F.expr("mk div 16").alias("du"),
+        cond = F.col("idx") == i
+        du = F.when(cond, res) if du is None else du.when(cond, res)
+    per = (
+        t.select(
+            F.col("meta.width").cast("long").alias("w"),
+            F.col("meta.height").cast("long").alias("h"),
+        )
+        .select("w", "h", F.expr(f"least({keys})").alias("mk"))
+        .select(
+            "w", "h", (F.col("mk") % 16).cast("int").alias("idx")
+        )
+        .select("idx", du.alias("du"))
     )
     label = F.col("idx")
     ratio = None

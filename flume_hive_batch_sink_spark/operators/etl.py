@@ -651,7 +651,12 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("dt").parquet(tbl)
 
-        back = spark.read.parquet(tbl)
+        # partition-type inference turns the dt directory key back into
+        # DATE; the written value (and the oracle contract) is the
+        # yyyy-MM-dd string, so pin the read-back type explicitly.
+        back = spark.read.parquet(tbl).withColumn(
+            "dt", F.col("dt").cast("string")
+        )
         agg = back.groupBy("dt").agg(
             F.count("*").alias("n_rows"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
@@ -802,7 +807,11 @@ def dq_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").alias("p99"))
     )
-    return totals.crossJoin(F.broadcast(p99)).select(
+    # LEFT join (not crossJoin): on an empty events table totals still
+    # yields its one all-NULL aggregate row while p99 is empty — a cross
+    # join would drop the row and diverge from the oracle's windowed
+    # formulation, which keeps one NULL row on degenerate input.
+    return totals.join(F.broadcast(p99), F.lit(True), "left").select(
         "n_keys",
         "n_rows",
         "max_rows",

@@ -420,6 +420,26 @@ def read_snapshot(
     return spark.read.parquet(data_dir)
 
 
+def _tombstone_rename(root: str, v: int) -> str | None:
+    """Atomically move ``v=<v>`` aside to a unique ``_tomb_*`` name so
+    its tree can be deleted after the commit lock is released. Returns
+    the tombstone path, or None if the version dir no longer exists
+    (matching the old rmtree(ignore_errors=True) tolerance)."""
+    src = _version_dir(root, v)
+    for attempt in range(1000):
+        dst = os.path.join(root, f"_tomb_v{v}.{os.getpid()}.{attempt}")
+        if os.path.exists(dst):
+            continue
+        try:
+            os.rename(src, dst)
+            return dst
+        except FileNotFoundError:
+            return None
+        except OSError:
+            continue
+    return None
+
+
 def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
     """Drop all but the newest ``keep`` committed-or-older version
     directories, never touching the current one or anything newer than
@@ -465,6 +485,17 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
     # ``_stage_*`` dirs stay outside the lock's protection by design
     # (stage_version runs unlocked); the maintenance-window rule in
     # the docstring is still the only guard for in-flight stages.
+    # Liveness: the critical section below does only O(manifest) work —
+    # droppable version dirs are atomically RENAMED to `_tomb_*` names
+    # under the lock (publishers therefore never see them mid-delete),
+    # and their (possibly huge) trees are reclaimed AFTER the lock is
+    # released, so a vacuum of many large versions never blocks
+    # publishers for the full deletion time (round-9 advice). A vacuum
+    # that crashes between rename and delete leaves an inert `_tomb_*`
+    # dir (read_table refuses non-v= names); the next vacuum sweeps any
+    # leftovers, also outside the lock.
+    tombs: list[str] = []
+    droppable: list[int] = []
     with _commit_lock(root):
         cur = current_version(root)
         versions = sorted(
@@ -484,14 +515,20 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
             # cannot be mistaken for a crashed one here: it holds the
             # flock we are holding.
             for v in [x for x in versions if cur is None or x > cur]:
-                shutil.rmtree(_version_dir(root, v), ignore_errors=True)
+                if (t := _tombstone_rename(root, v)) is not None:
+                    tombs.append(t)
                 versions.remove(v)
-        if cur is None:
-            return []
-        droppable = [v for v in versions if v <= cur - keep]
-        for v in droppable:
-            shutil.rmtree(_version_dir(root, v), ignore_errors=True)
-        return droppable
+        if cur is not None:
+            droppable = [v for v in versions if v <= cur - keep]
+            for v in droppable:
+                if (t := _tombstone_rename(root, v)) is not None:
+                    tombs.append(t)
+    for t in tombs:
+        shutil.rmtree(t, ignore_errors=True)
+    for d in os.listdir(root):
+        if d.startswith("_tomb_"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return droppable
 
 
 __all__ = [

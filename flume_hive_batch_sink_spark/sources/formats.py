@@ -295,7 +295,14 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         ev.write.mode("overwrite").partitionBy("dt").parquet(out)
     back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-05")
-    return back.groupBy("dt", F.hour("ts").cast("long").alias("hr")).agg(
+    # the filter above stays on the raw (DATE-inferred) partition column
+    # so pruning still happens at file listing; the projected dt is cast
+    # back to the yyyy-MM-dd string the writer produced (and the oracle
+    # emits) — partition-type inference must not leak into the result.
+    return back.groupBy(
+        F.col("dt").cast("string").alias("dt"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )

@@ -144,14 +144,100 @@ def canonicalize(pdf) -> tuple[list[str], "np.ndarray"]:
     return cols, canon.to_numpy(dtype=object)
 
 
+def _spark_dtype_class(dt) -> str:
+    """Coarse type class of a Spark DataType — the granularity at which
+    engine and oracle must agree (int/float/decimal/str/date/timestamp/
+    bool/list/binary). Canonical-value equality alone is blind to e.g.
+    a DATE column whose oracle emits VARCHAR (both canonicalize to
+    'yyyy-MM-dd'); a driver that hashes dtypes would flag it, so the
+    in-repo gate must too (round-9 verdict item #2)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return "other:" + dt.simpleString()
+
+
+def _duckdb_dtype_class(type_name: str) -> str:
+    """Coarse type class of a DuckDB ``DESCRIBE`` type string."""
+    t = type_name.upper()
+    if t.endswith("[]") or t.startswith(("LIST", "ARRAY")):
+        return "list"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in {
+        "TINYINT",
+        "SMALLINT",
+        "INTEGER",
+        "BIGINT",
+        "HUGEINT",
+        "UTINYINT",
+        "USMALLINT",
+        "UINTEGER",
+        "UBIGINT",
+    }:
+        return "int"
+    if t in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BLOB":
+        return "binary"
+    return "other:" + t
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Raise AssertionError with a useful diff if the two sides disagree."""
+    spark_classes = {
+        f.name: _spark_dtype_class(f.dataType) for f in spark_df.schema.fields
+    }
     spark_pdf = spark_df.toPandas()
     con = duckdb_connect(sf_dir)
     try:
         duck_pdf = con.execute(oracle_sql).fetch_df()
+        duck_classes = {
+            name: _duckdb_dtype_class(type_name)
+            for name, type_name, *_ in con.execute(
+                "DESCRIBE " + oracle_sql
+            ).fetchall()
+        }
     finally:
         con.close()
+
+    drift = {
+        c: (spark_classes[c], duck_classes[c])
+        for c in spark_classes
+        if c in duck_classes and spark_classes[c] != duck_classes[c]
+    }
+    assert not drift, (
+        "dtype-class drift (values may still canonicalize equal, but a "
+        "dtype-hashing driver would flag it): "
+        + ", ".join(
+            f"{c}: spark={s} duckdb={d}" for c, (s, d) in sorted(drift.items())
+        )
+    )
 
     s_cols, s_canon = _canon_frame(spark_pdf)
     d_cols, d_canon = _canon_frame(duck_pdf)

@@ -94,3 +94,31 @@ def test_driver_sample_rotation_unseen_first():
         assert all(k in seen for k in qs[first_seen_idx:]), (
             "a never-driver-checked key sorts after a driver-checked one"
         )
+
+
+def test_skew_audit_empty_input_matches_oracle(spark, tmp_path):
+    """Degenerate-input parity (round-9 ADVICE): on an EMPTY events
+    table dq_skew_audit must still emit exactly one all-NULL row, like
+    its oracle's windowed aggregate — the earlier crossJoin against an
+    empty p99 relation silently dropped the totals row (0 rows vs 1)."""
+    import duckdb
+
+    from flume_hive_batch_sink_spark.io import load
+
+    src = load(spark, SF_DIR, "events")
+    empty_dir = str(tmp_path / "sfempty")
+    src.limit(0).write.parquet(f"{empty_dir}/events.parquet")
+
+    rows = registry.QUERIES["dq_skew_audit"](spark, empty_dir).collect()
+    assert len(rows) == 1 and all(v is None for v in rows[0])
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/events.parquet/*.parquet')"
+        )
+        oracle_rows = con.execute(registry.ORACLES["dq_skew_audit"]).fetchall()
+    finally:
+        con.close()
+    assert len(oracle_rows) == 1 and all(v is None for v in oracle_rows[0])

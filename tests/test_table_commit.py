@@ -520,3 +520,23 @@ def test_commit_vacuum_read_stress(spark, root, purchases):
     assert not errors, errors
     assert tc.current_version(root) == 1 + 3 * commits_per_writer
     assert tc.read_table(spark, root).count() in valid
+
+
+def test_vacuum_reclaims_crashed_tombstones(spark, root, purchases):
+    """A vacuum that crashed between its under-lock rename and its
+    post-lock delete leaves an inert _tomb_* dir; the next vacuum must
+    reclaim it, and readers/publishers must never have seen it as a
+    version. Also: vacuum's own tombstones are gone by return time."""
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)  # v1
+    tc.commit_version(base.unionByName(updates), root)  # v2
+    tc.commit_version(tc.read_table(spark, root), root)  # v3
+    # simulate the crash window: rename v=1 aside, "die" before delete
+    tomb = tc._tombstone_rename(root, 1)
+    assert tomb is not None and os.path.isdir(tomb)
+    assert tc.current_version(root) == 3  # manifest untouched
+    dropped = tc.vacuum(root, keep=2)
+    assert dropped == []  # v1 was already tombstoned, not re-counted
+    assert not os.path.exists(tomb)  # leftover reclaimed
+    assert not [d for d in os.listdir(root) if d.startswith("_tomb_")]
+    assert tc.read_table(spark, root).count() > 0
