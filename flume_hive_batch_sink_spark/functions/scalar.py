@@ -64,7 +64,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(l_shipdate) AS INT) AS ship_month,
            CAST(day(l_shipdate) AS INT) AS ship_day,
            CAST(dayofweek(l_shipdate) AS INT) AS ship_dow,
-           date_trunc('month', l_shipdate) AS ship_month_start,
+           CAST(date_trunc('month', l_shipdate) AS VARCHAR)
+             AS ship_month_start,
            CAST(CAST(l_shipdate AS DATE) + 90 AS VARCHAR) AS due_date,
            CAST(date_diff('day', CAST('2000-01-01' AS DATE),
                           CAST(l_shipdate AS DATE)) AS INT) AS days_since_y2k,
@@ -83,7 +84,10 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("l_shipdate").alias("ship_month"),
         F.dayofmonth("l_shipdate").alias("ship_day"),
         (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
-        F.date_trunc("month", "l_shipdate").alias("ship_month_start"),
+        F.date_trunc("month", "l_shipdate")
+        .cast("date")
+        .cast("string")
+        .alias("ship_month_start"),
         # DATE outputs travel as ISO strings: pandas bridges render a bare
         # DATE as midnight-timestamp on one engine and datetime.date on the
         # other, which would sabotage the value hash.

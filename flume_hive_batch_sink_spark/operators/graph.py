@@ -662,7 +662,19 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies are a dim-sized aggregate joined back broadcast; the
     1-row order total rides along as a broadcast cross join (never
     collected). Support filtering happens after the pair hash-agg,
-    whose map-side combine absorbs the duplicate pair stream."""
+    whose map-side combine absorbs the duplicate pair stream.
+
+    Broadcast bound: the explicit broadcast() of the part-frequency
+    table assumes a dim-sized part relation (true for TPC-H, where
+    |part| is ~0.1% of |lineitem|). At 100 TB a part dimension can
+    exceed spark.sql.autoBroadcastJoinThreshold / executor memory; the
+    hint then degrades gracefully — AQE replans the exchange as a
+    shuffle/sort-merge join on the (part_a, part_b) keys, which stays
+    correct and scales, just with one extra shuffle of the (already
+    support-pruned) pair relation. The plan gate in tests/test_plans.py
+    therefore accepts EITHER join strategy for the freq joins (the
+    llm_tokenizer_coverage convention); what it pins is the absence of
+    a cartesian product and the canonical a.p < b.p pair orientation."""
     li = load(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")

@@ -160,8 +160,8 @@ def ts_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_rollup_multigrain",
     oracle="""
     SELECT event_type,
-           date_trunc('month', ts) AS month,
-           date_trunc('day', ts) AS day,
+           CAST(date_trunc('month', ts) AS VARCHAR) AS month,
+           CAST(date_trunc('day', ts) AS VARCHAR) AS day,
            GROUPING(event_type, date_trunc('month', ts),
                     date_trunc('day', ts)) AS gid,
            count(*) AS n,
@@ -184,12 +184,27 @@ def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("month", F.date_trunc("month", "ts"))
         .withColumn("day", F.date_trunc("day", "ts"))
     )
-    return ev.rollup("event_type", "month", "day").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+    # day-or-coarser grains travel as ISO DATE strings: Spark's
+    # date_trunc returns TIMESTAMP while DuckDB's returns DATE, a
+    # dtype-class drift a type-hashing driver would flag even though
+    # midnight values canonicalize equal (scalar.py fn_date convention).
+    return (
+        ev.rollup("event_type", "month", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("month").cast("date").cast("string").alias("month"),
+            F.col("day").cast("date").cast("string").alias("day"),
+            "gid",
+            "n",
+            "sum_value",
+        )
     )
 
 

