@@ -45,3 +45,9 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark import plans  # noqa: F401
     from flume_hive_batch_sink_spark import sources  # noqa: F401
     from flume_hive_batch_sink_spark import streaming  # noqa: F401
+
+    # Imported LAST (and deliberately absent from llm/__init__): new
+    # rounds' keys must APPEND to the registry, because the driver
+    # sampling rotation orders never-checked keys by registry position —
+    # inserting mid-order would reshuffle the attested 50-key prefix.
+    from flume_hive_batch_sink_spark.llm import mixing  # noqa: F401

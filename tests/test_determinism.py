@@ -165,6 +165,12 @@ RISKY = [
     "graph_copurchase_projection",
     "llm_lsh_band_sweep",
     "llm_bm25_topdocs",
+    # round-10 additions: pow()-derived mixing weights behind a
+    # round-then-DECIMAL normalizer, float-ordered budget window with
+    # doc_id tiebreak, dup-label window over a hashed text key
+    "llm_temperature_mix",
+    "sample_token_budget",
+    "llm_quality_calibration",
 ]
 
 

@@ -819,3 +819,40 @@ def test_bm25_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in tree
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_token_budget_window_is_partitioned(spark):
+    """sample_token_budget's running sum must window over the source
+    hash partition — exactly one exchange on source feeding both the
+    window and the final agg (same partitioning, reused), and no
+    empty/global window spec (a global ORDER BY would single-task the
+    corpus at 100 TB)."""
+    p = plan(registry.QUERIES["sample_token_budget"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Window" in tree
+    assert "windowspecdefinition()" not in p
+    assert "CartesianProduct" not in tree
+    ex = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(ex) == 1, f"expected one source exchange, got: {ex}"
+
+
+def test_temperature_mix_stays_broadcast(spark):
+    """llm_temperature_mix is one corpus aggregate plus algebra on a
+    |domains|-row relation: the two 1-row totals must ride along as
+    broadcast joins, never shuffles of the domain relation, and no
+    window/cartesian may appear."""
+    p = plan(registry.QUERIES["llm_temperature_mix"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "Window" not in tree
+
+
+def test_quality_calibration_no_global_window(spark):
+    """llm_quality_calibration buckets map-side (no ntile): its only
+    window is the dup-count over the normalized text key — partitioned,
+    never a global/empty window spec."""
+    p = plan(registry.QUERIES["llm_quality_calibration"](spark, SF_DIR))
+    assert "windowspecdefinition()" not in p
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
