@@ -1294,8 +1294,13 @@ def _pq_exact_top10(e: DataFrame) -> DataFrame:
     q = e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
+    # spread the corpus before the broadcast fan-out: e arrives in 1-2
+    # scan partitions, and the crossJoin multiplies each row by |q| —
+    # at sf1 that is 26M decimal dot products that would otherwise run
+    # on 2 of 32 cores (the calibration-tier repartition lesson).
+    par = e.sparkSession.sparkContext.defaultParallelism
     exact0 = (
-        e.crossJoin(F.broadcast(q))
+        e.repartition(par).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -1329,7 +1334,16 @@ def _pq_search(
     rows or trained centroids) is the only thing the two keys differ
     in. ``exact10`` lets an A/B caller reuse one ground-truth ranking
     across both searches (it is codebook-independent)."""
-    subv = _pq_sub_explode(e, F.col("e"), "vs")
+    # Two broadcast fan-outs dominate this dataflow at scale: encode
+    # (|corpus|·m rows × k codebook entries) and ADC scoring (codes ×
+    # |queries| LUT rows). Both stream a relation that arrives in 1-2
+    # partitions (scan partitioning, or an AQE-coalesced exchange whose
+    # map-side size is small precisely because codes are 64x smaller
+    # than vectors — AQE is blind to the fan-out). Explicit round-robin
+    # repartitions spread the multiplied work across the cluster; at
+    # sf1 this took the engine side from ~320s to task-parallel.
+    par = e.sparkSession.sparkContext.defaultParallelism
+    subv = _pq_sub_explode(e, F.col("e"), "vs").repartition(par)
     enc0 = subv.join(F.broadcast(codebook), "s").withColumn(
         "sqd", F.expr(_DEC_SQDIST.format(a="vs", b="cs"))
     )
@@ -1350,7 +1364,8 @@ def _pq_search(
         "qid", "s", "cid", F.expr(_DEC_DOT.format(a="qs", b="cs")).alias("d")
     )
     adc = (
-        codes.join(F.broadcast(lut), ["s", "cid"])
+        codes.repartition(par)
+        .join(F.broadcast(lut), ["s", "cid"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg(F.sum("d").alias("ascore"))
