@@ -1699,7 +1699,11 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ae"),
     )
     dec_dot = F.expr(_DEC_DOT.format(a="ae", b="e"))
-    scored = e.crossJoin(F.broadcast(anchors)).select(
+    # spread the corpus before the |anchors|-fold broadcast fan-out —
+    # e arrives in 1-2 scan partitions, and without this the sf1 run
+    # put 26M decimal dots on 2 of 32 cores (the _pq_exact_top10 fix).
+    par = e.sparkSession.sparkContext.defaultParallelism
+    scored = e.repartition(par).crossJoin(F.broadcast(anchors)).select(
         "aid", "alabel", "vec_id", "label", dec_dot.alias("score")
     )
     pos = scored.filter(
