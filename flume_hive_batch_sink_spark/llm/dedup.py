@@ -800,8 +800,15 @@ def _minhash_estimate_frame(
     cond = F.col("doc_a") < F.col("doc_b")
     if pair_sampled:
         cond = cond & _pair_sample_pred(F.col("doc_a"), F.col("doc_b"))
+    # No broadcast hint: a user hint is honored regardless of
+    # autoBroadcastJoinThreshold, so at corpus scale a forced
+    # broadcast of pb (a fixed FRACTION of the corpus, not a fixed
+    # size) would OOM. The planner sizes pb itself — broadcast-NL at
+    # certificate scale, partition-paired cartesian past the
+    # threshold; the repartition keeps the probe work spread either
+    # way.
     true_j = (
-        pa.join(F.broadcast(pb), cond)  # stream the repartitioned side
+        pa.join(pb, cond)
         .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
         .withColumn(
             "j",
@@ -962,8 +969,11 @@ def llm_minhash_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairs) while still measuring the estimator on the corpus's own
     token distribution — which is exactly how a production pipeline
     calibrates banding thresholds on a petabyte corpus: certify the
-    estimator on a fixed-size sample, then trust P[match] = J for the
-    full run. The sample rule is the split_train_test idiom (salted
+    estimator on a small sample, then trust P[match] = J for the full
+    run. The sample is a fixed FRACTION (6.25%), not a fixed size — it
+    grows with the corpus, which is why the truth join carries no
+    broadcast hint (the planner demotes past the threshold; a user
+    hint would be honored unconditionally and OOM). The sample rule is the split_train_test idiom (salted
     md5 range), so any executor classifies any row with zero
     coordination, membership survives repartitioning/appends, and the
     DuckDB oracle replays the exact same sample — the certificate
@@ -1267,8 +1277,12 @@ def _lsh_band_pr_frame(docs: DataFrame, pair_sampled: bool = False) -> DataFrame
         F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")
     )
     pb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    # No broadcast hint (same rationale as _minhash_estimate_frame):
+    # pb is a fixed fraction of the corpus, so a forced broadcast
+    # grows linearly with data; the planner picks broadcast-NL at
+    # certificate scale and degrades safely past the threshold.
     pairs = (
-        pa.join(F.broadcast(pb), truth_cond)  # stream the repartitioned side
+        pa.join(pb, truth_cond)
         .withColumn("ni", F.size(F.array_intersect("ta", "tb")))
         .withColumn("na", F.size("ta"))
         .withColumn("nb", F.size("tb"))

@@ -664,17 +664,20 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected). Support filtering happens after the pair hash-agg,
     whose map-side combine absorbs the duplicate pair stream.
 
-    Broadcast bound: the explicit broadcast() of the part-frequency
-    table assumes a dim-sized part relation (true for TPC-H, where
-    |part| is ~0.1% of |lineitem|). At 100 TB a part dimension can
-    exceed spark.sql.autoBroadcastJoinThreshold / executor memory; the
-    hint then degrades gracefully — AQE replans the exchange as a
-    shuffle/sort-merge join on the (part_a, part_b) keys, which stays
-    correct and scales, just with one extra shuffle of the (already
-    support-pruned) pair relation. The plan gate in tests/test_plans.py
-    therefore accepts EITHER join strategy for the freq joins (the
-    llm_tokenizer_coverage convention); what it pins is the absence of
-    a cartesian product and the canonical a.p < b.p pair orientation."""
+    Broadcast bound: the part-frequency joins carry NO user hint — a
+    user broadcast() hint is honored by Spark regardless of
+    spark.sql.autoBroadcastJoinThreshold (AQE's demote rule applies
+    only to size-ESTIMATED broadcasts), so hinting here would force an
+    OOM once a 100 TB part dimension outgrows executor memory. Instead
+    the optimizer sizes the freq relation itself: at TPC-H dim scale
+    (|part| ~0.1% of |lineitem|) it still picks a broadcast-hash join;
+    past the threshold it plans a shuffle/sort-merge join on the
+    (part_a, part_b) keys, which stays correct with one extra shuffle
+    of the (already support-pruned) pair relation. Only the 1-row
+    order-total keeps an explicit broadcast (fixed size by
+    construction). The plan gate in tests/test_plans.py accepts EITHER
+    hash-join strategy for the freq joins; what it pins is the absence
+    of a cartesian product and the canonical a.p < b.p orientation."""
     li = load(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -694,8 +697,8 @@ def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.select(F.col("p").alias("part_a"), F.col("f").alias("fa"))
     fb = freq.select(F.col("p").alias("part_b"), F.col("f").alias("fb"))
     return (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "part_a",

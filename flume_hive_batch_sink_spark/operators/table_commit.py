@@ -420,11 +420,20 @@ def read_snapshot(
     return spark.read.parquet(data_dir)
 
 
-def _tombstone_rename(root: str, v: int) -> str | None:
+def _tombstone_rename(root: str, v: int) -> tuple[str | None, bool]:
     """Atomically move ``v=<v>`` aside to a unique ``_tomb_*`` name so
     its tree can be deleted after the commit lock is released. Returns
-    the tombstone path, or None if the version dir no longer exists
-    (matching the old rmtree(ignore_errors=True) tolerance)."""
+    ``(tombstone_path, reclaimed)``: ``(dst, True)`` on rename,
+    ``(None, True)`` if the version dir no longer exists (matching the
+    old rmtree(ignore_errors=True) tolerance), ``(None, False)`` if
+    the rename failed in a way a different destination name cannot fix
+    — the dir is still on disk and the caller must NOT report it as
+    reclaimed. Only name-collision errnos (EEXIST/ENOTEMPTY) retry
+    with another name; a persistent error (EACCES, EXDEV, ...) would
+    otherwise burn 1000 rename syscalls while holding the commit
+    lock."""
+    import errno
+
     src = _version_dir(root, v)
     for attempt in range(1000):
         dst = os.path.join(root, f"_tomb_v{v}.{os.getpid()}.{attempt}")
@@ -432,12 +441,14 @@ def _tombstone_rename(root: str, v: int) -> str | None:
             continue
         try:
             os.rename(src, dst)
-            return dst
+            return dst, True
         except FileNotFoundError:
-            return None
-        except OSError:
-            continue
-    return None
+            return None, True
+        except OSError as e:
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                continue
+            return None, False
+    return None, False
 
 
 def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
@@ -515,14 +526,22 @@ def vacuum(root: str, keep: int = 2, sweep_stages: bool = False) -> list[int]:
             # cannot be mistaken for a crashed one here: it holds the
             # flock we are holding.
             for v in [x for x in versions if cur is None or x > cur]:
-                if (t := _tombstone_rename(root, v)) is not None:
+                t, _ok = _tombstone_rename(root, v)
+                if t is not None:
                     tombs.append(t)
                 versions.remove(v)
         if cur is not None:
-            droppable = [v for v in versions if v <= cur - keep]
-            for v in droppable:
-                if (t := _tombstone_rename(root, v)) is not None:
+            # droppable reports only versions actually reclaimed (or
+            # already gone) — a rename that failed on a persistent
+            # errno leaves the dir on disk, and reporting it would
+            # make callers believe retention was enforced when it
+            # wasn't.
+            for v in [x for x in versions if x <= cur - keep]:
+                t, ok = _tombstone_rename(root, v)
+                if t is not None:
                     tombs.append(t)
+                if ok:
+                    droppable.append(v)
     for t in tombs:
         shutil.rmtree(t, ignore_errors=True)
     for d in os.listdir(root):

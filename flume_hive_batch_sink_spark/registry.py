@@ -17,6 +17,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Modules appended to the registry AFTER the stable r1–r9 surface, in
+# import order. load_all_operators asserts their keys sit at the very
+# end of the registry so an accidental early import fails loudly
+# instead of silently reshuffling the driver-sampling rotation prefix.
+_TAIL_MODULES = ("flume_hive_batch_sink_spark.llm.mixing",)
+
 
 def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as the implementation of operator ``key``.
@@ -51,3 +57,19 @@ def load_all_operators() -> None:
     # sampling rotation orders never-checked keys by registry position —
     # inserting mid-order would reshuffle the attested 50-key prefix.
     from flume_hive_batch_sink_spark.llm import mixing  # noqa: F401
+
+    # Fail LOUDLY if any import path registered the tail modules early
+    # (a direct test import, a tool, a future llm/__init__ edit would
+    # otherwise silently reshuffle the rotation prefix the driver
+    # samples). Extend _TAIL_MODULES, in import order, when a future
+    # round appends a new module below the mixing import.
+    tail_keys = [
+        k for k, fn in QUERIES.items() if fn.__module__ in _TAIL_MODULES
+    ]
+    if tail_keys and list(QUERIES)[-len(tail_keys) :] != tail_keys:
+        raise AssertionError(
+            "append-only registry order violated: keys from "
+            f"{_TAIL_MODULES} must occupy the final registry positions "
+            "(something imported a tail module before "
+            "load_all_operators)"
+        )

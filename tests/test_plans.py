@@ -789,13 +789,15 @@ def test_aspect_bucket_prunes_payload_and_stays_map_side(spark):
 
 
 def test_copurchase_freq_joins_broadcast(spark):
-    """graph_copurchase_projection's per-part frequency tables come
-    back as broadcast joins at dim scale, but the broadcast is a HINT
-    with a documented bound: past the broadcast threshold AQE degrades
-    the freq joins to shuffle-hash/sort-merge, which stays correct — so
-    the gate accepts EITHER hash-join strategy (never a nested loop).
-    What it pins unconditionally: every join is an equi-join (the pair
-    expansion keys on the order id), no cartesian product, no window."""
+    """graph_copurchase_projection's per-part frequency joins carry NO
+    user broadcast hint (a hint is honored past the threshold and would
+    OOM at 100 TB; AQE demotes only size-ESTIMATED broadcasts) — the
+    optimizer sizes the freq relation itself, broadcasting at dim scale
+    and degrading to shuffle-hash/sort-merge past the threshold. The
+    gate therefore accepts EITHER hash-join strategy (never a nested
+    loop). What it pins unconditionally: every join is an equi-join
+    (the pair expansion keys on the order id), no cartesian product,
+    no window."""
     p = plan(registry.QUERIES["graph_copurchase_projection"](spark, SF_DIR))
     tree = p.split("\n\n")[0]
     equi_joins = (

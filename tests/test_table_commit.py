@@ -532,11 +532,45 @@ def test_vacuum_reclaims_crashed_tombstones(spark, root, purchases):
     tc.commit_version(base.unionByName(updates), root)  # v2
     tc.commit_version(tc.read_table(spark, root), root)  # v3
     # simulate the crash window: rename v=1 aside, "die" before delete
-    tomb = tc._tombstone_rename(root, 1)
-    assert tomb is not None and os.path.isdir(tomb)
+    tomb, reclaimed = tc._tombstone_rename(root, 1)
+    assert reclaimed and tomb is not None and os.path.isdir(tomb)
     assert tc.current_version(root) == 3  # manifest untouched
     dropped = tc.vacuum(root, keep=2)
     assert dropped == []  # v1 was already tombstoned, not re-counted
     assert not os.path.exists(tomb)  # leftover reclaimed
     assert not [d for d in os.listdir(root) if d.startswith("_tomb_")]
+    assert tc.read_table(spark, root).count() > 0
+
+
+def test_vacuum_persistent_rename_error(spark, root, purchases, monkeypatch):
+    """A rename failing on an errno no alternate destination name can
+    fix (EACCES/EXDEV) must bail after ONE attempt — not burn 1000
+    rename syscalls under the commit lock — and the still-on-disk
+    version must be EXCLUDED from vacuum's droppable return (r10 advice:
+    reporting it would tell callers retention was enforced when it
+    wasn't)."""
+    import errno
+
+    base, updates = _split(purchases)
+    tc.commit_version(base, root)  # v1
+    tc.commit_version(base.unionByName(updates), root)  # v2
+    tc.commit_version(tc.read_table(spark, root), root)  # v3
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def denied_rename(src, dst, *a, **kw):
+        if "_tomb_" in str(dst):
+            calls["n"] += 1
+            raise PermissionError(errno.EACCES, "denied", str(dst))
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(tc.os, "rename", denied_rename)
+    dropped = tc.vacuum(root, keep=2)
+    monkeypatch.undo()
+    assert dropped == []  # v1 stayed on disk → not reported reclaimed
+    assert calls["n"] == 1  # one attempt, no retry storm under the lock
+    assert os.path.isdir(os.path.join(root, "v=1"))  # still there
+    # with the permission restored, the next vacuum reclaims it
+    assert tc.vacuum(root, keep=2) == [1]
+    assert not os.path.isdir(os.path.join(root, "v=1"))
     assert tc.read_table(spark, root).count() > 0
