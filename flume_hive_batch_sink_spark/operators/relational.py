@@ -673,24 +673,25 @@ def filter_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.createOrReplaceTempView("_nin_orders")
     nonnull_keys.createOrReplaceTempView("_nin_keys_nonnull")
     withnull_keys.createOrReplaceTempView("_nin_keys_withnull")
-    # NOT IN must go through SQL so Spark plans its null-aware anti join
-    a = spark.sql(
-        "SELECT COUNT(*) AS c FROM _nin_orders "
-        "WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_nonnull)"
-    ).collect()[0].c
-    b = spark.sql(
-        "SELECT COUNT(*) AS c FROM _nin_orders "
-        "WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_withnull)"
-    ).collect()[0].c
-    c = (
-        orders.join(
-            withnull_keys, orders.o_custkey == withnull_keys.k, "left_anti"
-        ).count()
-    )
-    return spark.createDataFrame(
-        [(a, b, c)],
-        "not_in_nonnull BIGINT, not_in_with_null BIGINT, "
-        "not_exists_with_null BIGINT",
+    # NOT IN must go through SQL so Spark plans its null-aware anti
+    # join. All three counts are scalar subqueries in ONE returned
+    # plan — no driver-side .collect() roundtrip re-entering via
+    # createDataFrame (r10 verdict #6); Spark executes each subquery
+    # as its own stage and stitches the 1-row projection.
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM _nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_nonnull))
+            AS not_in_nonnull,
+          (SELECT COUNT(*) FROM _nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM _nin_keys_withnull))
+            AS not_in_with_null,
+          (SELECT COUNT(*) FROM _nin_orders o
+           WHERE NOT EXISTS (SELECT 1 FROM _nin_keys_withnull w
+                             WHERE w.k = o.o_custkey))
+            AS not_exists_with_null
+        """
     )
 
 

@@ -858,3 +858,16 @@ def test_quality_calibration_no_global_window(spark):
     assert "windowspecdefinition()" not in p
     tree = p.split("\n\n")[0]
     assert "CartesianProduct" not in tree
+
+
+def test_not_in_null_semantics_single_plan(spark):
+    """filter_not_in_null_semantics returns ONE plan whose three counts
+    are scalar subqueries (r10 verdict #6: no driver-side .collect()
+    re-entering via createDataFrame). The two NOT IN branches must plan
+    Spark's null-aware anti join machinery (LeftAnti over a broadcast
+    build side), and there must be exactly three hosted subqueries."""
+    p = plan(registry.QUERIES["filter_not_in_null_semantics"](spark, SF_DIR))
+    assert p.count("Hosting Expression = Subquery subquery") == 3
+    assert p.count("LeftAnti") >= 3
+    assert "LocalTableScan" not in p  # no createDataFrame re-entry
+    assert "CartesianProduct" not in p
