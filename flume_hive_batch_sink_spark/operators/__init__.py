@@ -11,3 +11,7 @@ from flume_hive_batch_sink_spark.operators import (  # noqa: F401
     udfs,
     windows,
 )
+
+# udtf_arrow is deliberately ABSENT: registry tail modules import only
+# from load_all_operators (append-only key order — see
+# registry._TAIL_MODULES).

@@ -21,7 +21,10 @@ ORACLES: dict[str, str] = {}
 # import order. load_all_operators asserts their keys sit at the very
 # end of the registry so an accidental early import fails loudly
 # instead of silently reshuffling the driver-sampling rotation prefix.
-_TAIL_MODULES = ("flume_hive_batch_sink_spark.llm.mixing",)
+_TAIL_MODULES = (
+    "flume_hive_batch_sink_spark.llm.mixing",
+    "flume_hive_batch_sink_spark.operators.udtf_arrow",
+)
 
 
 def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -57,6 +60,7 @@ def load_all_operators() -> None:
     # sampling rotation orders never-checked keys by registry position —
     # inserting mid-order would reshuffle the attested 50-key prefix.
     from flume_hive_batch_sink_spark.llm import mixing  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import udtf_arrow  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

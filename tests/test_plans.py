@@ -871,3 +871,16 @@ def test_not_in_null_semantics_single_plan(spark):
     assert p.count("LeftAnti") >= 3
     assert "LocalTableScan" not in p  # no createDataFrame re-entry
     assert "CartesianProduct" not in p
+
+
+def test_udtf_python_arrow_plan(spark):
+    """udtf_python_arrow must run the REAL Spark 4 @udtf path with
+    Arrow batching: the plan carries an ArrowEvalPythonUDTF node (not
+    BatchEvalPythonUDTF — pickled row-at-a-time transfer — and not a
+    builtin Generate), and the UDTF is embarrassingly parallel: zero
+    Exchange, output partitioning inherited from the scan."""
+    p = plan(registry.QUERIES["udtf_python_arrow"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "ArrowEvalPythonUDTF" in tree
+    assert "BatchEvalPythonUDTF" not in tree
+    assert "Exchange" not in tree
