@@ -29,6 +29,15 @@ _BANDS = 16
 _ROWS = 2
 _JACCARD_T = 0.8
 
+# Hot-band skew guard (band_candidates): a band bucket wider than
+# _BUCKET_CAP docs would make the plain self-join quadratic ON ONE
+# REDUCER (a degenerate corpus — one template repeated 10⁶× — puts all
+# copies in one (band_idx, band_key) bucket, and AQE's skew-join split
+# cannot divide a single join key). Buckets past the cap instead take a
+# salted self-join fanned across _BUCKET_SALTS reducers.
+_BUCKET_CAP = 64
+_BUCKET_SALTS = 16
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """Distinct token set per document (the dedup unit of comparison)."""
@@ -83,6 +92,66 @@ def minhash_bands(tok_arr: DataFrame) -> DataFrame:
     )
     return sig.select(
         "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
+    )
+
+
+def band_candidates(
+    bands: DataFrame,
+    width_cap: int = _BUCKET_CAP,
+    salts: int = _BUCKET_SALTS,
+) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from band-bucket
+    collisions, with a hot-bucket skew guard.
+
+    Buckets of width ≤ ``width_cap`` take the plain self-join (one
+    shuffle on (band_idx, band_key); per-reducer work ≤ cap² per
+    bucket). Wider buckets take a SALTED self-join: the a-side gets a
+    deterministic salt in [0, salts) from xxhash64(doc_id); the b-side
+    is replicated once per salt value; the join adds salt equality, so
+    every ordered pair still meets EXACTLY once (at the b-replica whose
+    salt equals a's) — the candidate set is bit-identical to the
+    unsalted join while a size-m bucket's m² products spread across
+    ``salts`` reducers at ⌈m/salts⌉·m each. Cost is b-side shuffle
+    volume ×salts, paid ONLY by the (rare) hot buckets; the width split
+    rides the same hash partitioning the window count already paid for.
+
+    Tier membership is per-bucket (every row of a bucket shares its
+    width), so no pair can straddle tiers and exactness needs no
+    cross-tier join. Both the salt and the tier split are deterministic
+    — required by oracle hash-match and resume semantics.
+    """
+    w = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    bw = bands.withColumn("w", w)
+
+    def _pairs(a: DataFrame, b: DataFrame, *extra: F.Column) -> DataFrame:
+        cond = (
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        for e in extra:
+            cond = cond & e
+        return (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+
+    narrow = bw.filter(F.col("w") <= width_cap).drop("w")
+    hot = bw.filter(F.col("w") > width_cap).drop("w")
+    ha = hot.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit("bandsalt")), F.lit(salts))
+    )
+    hb = hot.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))
+    )
+    return (
+        _pairs(narrow, narrow)
+        .unionByName(_pairs(ha, hb, F.col("a.salt") == F.col("b.salt")))
+        .distinct()
     )
 
 
@@ -148,21 +217,15 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_arr = token_arrays(docs)
     bands = minhash_bands(tok_arr)
 
-    # Candidate pairs: bucket-mates in any band, deduplicated. distinct
-    # compiles to partial (map-side) + final hash aggregation, so the
-    # per-collision duplicates collapse before the shuffle where the
-    # data is dense (this fixture: ~83M matches → ~12M pairs at sf0.1).
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # Candidate pairs: bucket-mates in any band, deduplicated, with the
+    # hot-bucket skew guard (band_candidates docstring — buckets wider
+    # than _BUCKET_CAP take an exactness-preserving salted self-join so
+    # a degenerate template corpus can't concentrate m² products on one
+    # reducer). distinct compiles to partial (map-side) + final hash
+    # aggregation, so per-collision duplicates collapse before the
+    # shuffle where the data is dense (~83M matches → ~12M pairs at
+    # sf0.1).
+    candidates = band_candidates(bands)
 
     # exact verify on candidate pairs only: attach both token arrays
     # (joins on doc_id — broadcast at test scale, co-partitioned shuffle

@@ -299,6 +299,93 @@ def test_block_index_cache_bounded_and_unpersists(spark):
     assert len(cache) == 0
 
 
+def test_band_candidates_hot_bucket_guard(spark):
+    """Synthetic hot band: 200 copies of one template put all 200 docs
+    in the same (band_idx, band_key) bucket for EVERY band — the
+    degenerate corpus where an unsalted band self-join concentrates
+    200² products per band on one reducer. Proves the guard (a) emits
+    the bit-identical candidate set (exactness), (b) bounds a-side
+    rows per (band, bucket, salt) reducer key to ~m/salts, and (c)
+    leaves the realistic corpus on the cheap narrow tier."""
+    from flume_hive_batch_sink_spark.llm import dedup as D
+
+    m, extra = 200, 8
+    rows = [(i, "the same template text repeated verbatim") for i in range(m)]
+    rows += [(m + i, f"unique document number {i} with its own words") for i in range(extra)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bands = D.minhash_bands(D.token_arrays(docs))
+
+    cap, salts = 16, 4
+    guarded = D.band_candidates(bands, width_cap=cap, salts=salts)
+
+    # (a) exactness: identical candidate set to the unguarded self-join
+    a, b = bands.alias("a"), bands.alias("b")
+    plain = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    got = set(map(tuple, guarded.collect()))
+    want = set(map(tuple, plain.collect()))
+    assert got == want
+    assert len(want) >= m * (m - 1) // 2  # every template pair survives
+
+    # (b) boundedness: the hot tier's a-side reducer key is
+    # (band_idx, band_key, salt); its widest group must be ~m/salts,
+    # never m — that's the whole point of the salt.
+    from pyspark.sql.window import Window
+
+    w = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    hot = bands.withColumn("w", w).filter(F.col("w") > cap)
+    per_salt = (
+        hot.withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit("bandsalt")), F.lit(salts)),
+        )
+        .groupBy("band_idx", "band_key", "salt")
+        .count()
+    )
+    widest = per_salt.agg(F.max("count")).collect()[0][0]
+    assert widest is not None and widest <= 2 * (m // salts), (
+        f"salted a-side group too wide: {widest}"
+    )
+
+    # (c) the realistic fixture is dense-similar and DOES trip the hot
+    # tier at the production cap (so the guard is live on the real
+    # path, not just the synthetic one), and the production salt
+    # genuinely spreads those buckets: the widest per-salt reducer
+    # group must shrink by ~salts vs the widest raw bucket.
+    from flume_hive_batch_sink_spark.io import load
+
+    real = D.minhash_bands(D.token_arrays(load(spark, SF_DIR, "documents")))
+    wr = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    hot_real = real.withColumn("w", wr).filter(F.col("w") > D._BUCKET_CAP)
+    widest_bucket = hot_real.agg(F.max("w")).collect()[0][0]
+    assert widest_bucket is not None and widest_bucket > D._BUCKET_CAP
+    widest_salted = (
+        hot_real.withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit("bandsalt")),
+                F.lit(D._BUCKET_SALTS),
+            ),
+        )
+        .groupBy("band_idx", "band_key", "salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert widest_salted * D._BUCKET_SALTS <= 2 * widest_bucket, (
+        f"salt not spreading: widest bucket {widest_bucket}, "
+        f"widest per-salt group {widest_salted}"
+    )
+
+
 def test_minhash_family_is_literal_seeded(spark):
     """Pin the signature hash families to their documented literal-seed
     definitions. Guards the PySpark transform() arity trap: a lambda
