@@ -242,13 +242,28 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned write → finalize → read-back.
 
     The text staging happens EXECUTOR-SIDE: chunk id is a deterministic
-    ``pmod(event_id, 4)`` bucket (the final table state is
-    batching-invariant, so chunk membership is arbitrary — no global
-    ordering needed) and ``write.partitionBy("chunk").csv`` serializes
+    function of the event DATE (``pmod(unix_date(ts::date), 4)`` — the
+    final table state is batching-invariant, so any deterministic
+    chunking works) and ``write.partitionBy("chunk").csv`` serializes
     every chunk in one distributed pass; nothing is collected to the
     driver and no WindowExec appears anywhere in the plan. Pinned
-    mtimes + maxFilesPerTrigger=1 still deliver one real micro-batch
-    per chunk file, so multiple epochs hit the epoch-overwrite path.
+    mtimes + maxFilesPerTrigger = ⌈n_files/2⌉ deliver exactly two real
+    micro-batches, so multiple epochs still hit the epoch-overwrite
+    path while paying the ~2 s fixed per-epoch cost (foreachBatch
+    round-trip + commit) twice instead of once per file. A chunk whose
+    files straddle the epoch boundary lands one (dt, hr) in both
+    epoch= subtrees — harmless: epochs own disjoint directories and
+    the read-back drops the epoch column.
+
+    Chunking by DATE (not by event_id hash) is what Flume's channel
+    actually delivers — a roughly time-ordered drain — and it is the
+    fixed-overhead win: each (dt, hr) Hive partition belongs to exactly
+    ONE epoch, so the table holds #(dt,hr) parquet files total instead
+    of epochs×#(dt,hr), and every epoch's dynamic-overwrite commit
+    touches only its own time slice (was: every epoch rewrote-or-added
+    under all ~720 (dt,hr) dirs; 4× the files, 4× the commit renames,
+    4× the read-back listing — measured 42 s → well under 20 s at
+    sf0.01 for identical final state).
     Timestamps are serialized with microseconds ('.SSSSSS'), so the
     landed table equals the source at full timestamp precision.
     """
@@ -267,17 +282,18 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (
         ev.select(
-            F.pmod("event_id", F.lit(4)).alias("chunk"),
+            F.pmod(F.unix_date(F.to_date("ts")), F.lit(4)).alias("chunk"),
             F.col("event_id").cast("string").alias("c0"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c1"),
             F.col("user_id").cast("string").alias("c2"),
             F.col("event_type").alias("c3"),
             F.round("value", 4).cast("string").alias("c4"),
         )
-        # one file per chunk at this scale; at 100 TB drop the
-        # repartition and let every task roll its own chunk files —
-        # each extra file is just one more micro-batch
-        .repartition("chunk")
+        # a few files per chunk at this scale (the sub-split widens the
+        # µs-timestamp-formatting write from 4 tasks to up to 32); at
+        # 100 TB drop the repartition and let every task roll its own
+        # chunk files — each extra file is just more micro-batch input
+        .repartition(F.col("chunk"), F.pmod(F.xxhash64("c0"), F.lit(8)))
         .write.mode("overwrite")
         .option("sep", "\t")
         .partitionBy("chunk")
@@ -286,6 +302,7 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrival order: move chunk files into the source dir with strictly
     # increasing mtimes (the file source lists oldest-first)
     now = _time.time()
+    n_files = 0
     for c in range(4):
         parts = sorted(glob.glob(os.path.join(staging, f"chunk={c}", "part-*")))
         for i, p in enumerate(parts):
@@ -293,6 +310,7 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(p, dst)
             t = now + c + i / 100.0
             os.utime(dst, (t, t))
+            n_files += 1
     shutil.rmtree(staging, ignore_errors=True)
 
     parsed_schema = (
@@ -303,7 +321,10 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(parsed_schema)
         .option("sep", "\t")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .option("maxFilesPerTrigger", 1)
+        # exactly TWO micro-batches whatever the staged file count: the
+        # multi-epoch overwrite path stays exercised while the ~2 s
+        # fixed per-epoch cost is paid twice, not once per file
+        .option("maxFilesPerTrigger", max(1, (n_files + 1) // 2))
         .csv(src)
     )
     q = sink.start_hive_sink(s, out_dir)
