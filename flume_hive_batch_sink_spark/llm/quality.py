@@ -1,0 +1,121 @@
+"""Round-11 extension keys: document-quality signals for corpus curation.
+
+Gopher's quality heuristics (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+public paper) filter web documents by REPETITION: the fraction of the
+document covered by its most frequent n-gram, and the fraction of
+duplicated tokens. These are the standard pre-training curation signals
+alongside the length/punctuation/stopword stats in llm/text.py
+(llm_text_stats) — which cover Gopher's other rule family but not the
+repetition rules.
+
+Registered registry-LAST (registry._TAIL_MODULES): new rounds append so
+the driver-sampling rotation prefix of earlier rounds stays stable.
+
+100 TB posture: everything here is per-document and expression-level —
+split → bigram zip_with → array_sort → aggregate() run-length scan, all
+inside whole-stage codegen with ZERO shuffles and zero Python. Quality
+flags ride along the initial corpus scan exactly like the MinHash
+signatures (llm/dedup.py), so the filter costs one map pass regardless
+of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.registry import query
+
+# Keep-thresholds, calibrated on the driver fixture so both classes are
+# populated (word-soup docs over a ~31-word vocabulary repeat bigrams
+# far more than natural text — the thresholds encode the same RULE as
+# Gopher's 0.18/0.30 at this fixture's operating point).
+_TOP_BIGRAM_MAX = 0.10
+_DUP_TOKEN_MAX = 0.90
+
+_GOPHER_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+    ), top AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT base.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(2 * COALESCE(top_bg, 0) AS DOUBLE) / n_tokens, 6)
+             AS top_bigram_frac,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+             AS dup_token_frac,
+           (CAST(2 * COALESCE(top_bg, 0) AS DOUBLE) / n_tokens
+              <= {_TOP_BIGRAM_MAX}
+            AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+              <= {_DUP_TOKEN_MAX}) AS keep
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+@query("llm_gopher_repetition", oracle=_GOPHER_ORACLE)
+def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules per document: top-bigram coverage and
+    duplicate-token fraction, with the keep/drop flag.
+
+    ``top_bigram_frac`` = tokens covered by the single most frequent
+    bigram (2 × its occurrence count / n_tokens) — the token-level
+    analogue of Gopher's top-2-gram character fraction. The max
+    occurrence count is found WITHOUT any per-ngram groupBy: bigrams →
+    array_sort → one aggregate() run-length scan over the sorted array,
+    a pure codegen expression, so the whole operator is one map pass
+    (zero Exchange — plan-gated in tests/test_plans.py). The corpus-wide
+    alternative (explode bigrams → groupBy(doc_id, bigram) → max) would
+    shuffle |corpus| bigram rows; per-doc arrays make that cost zero at
+    any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    # bigram i = toks[i] + ' ' + toks[i+1]; slice is 1-indexed
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # max run length in the sorted bigram array = max occurrence count
+    top_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_frac = (2 * top_bg).cast("double") / n
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        (
+            (top_frac <= F.lit(_TOP_BIGRAM_MAX))
+            & (dup_frac <= F.lit(_DUP_TOKEN_MAX))
+        ).alias("keep"),
+    )

@@ -1171,7 +1171,14 @@ _PQ_M = 8        # subspaces (64-dim -> 8 x 8)
 _PQ_D = 8        # dims per subspace
 _PQ_K = 16       # centroids per subspace codebook (4-bit codes)
 _PQ_ANCHOR_MOD = 5   # codebook anchors: 16 smallest vec_id = 3 (mod 5)
-_PQ_QUERY_MOD = 97   # query set: vec_id = 0 (mod 97)
+_PQ_QUERY_MOD = 97   # query-set spread: vec_id = 0 (mod 97) …
+# … capped at a fixed SIZE. A mod filter alone is a fixed FRACTION —
+# the certificate's query×corpus probes (exact truth, ADC scan) would
+# grow as n²/97 with the corpus (round-11 sf10 rehearsal: 200k vectors
+# → 2062 queries → 412M decimal dots, >15 min on 32 cores). The cap
+# binds only above n≈25k (sf1 has 206 queries), so results at every
+# attested scale are unchanged, and cost above that is 256·n — linear.
+_PQ_QUERY_LIMIT = 256
 
 # Decimal-exact kernels: every per-dim float op is a SINGLE IEEE double
 # op (identical in both engines), immediately rounded to 9 decimals and
@@ -1221,7 +1228,9 @@ _PQ_ORACLE = f"""
           PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
         FROM enc0) WHERE rn = 1
     ), q AS (
-      SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id % {_PQ_QUERY_MOD} = 0
+      SELECT vec_id AS qid, e AS qe FROM e
+      WHERE vec_id % {_PQ_QUERY_MOD} = 0
+      ORDER BY vec_id LIMIT {_PQ_QUERY_LIMIT}
     ), qsub AS (
       SELECT q.qid, g.s,
              list_slice(q.qe, g.s * {_PQ_D} + 1, g.s * {_PQ_D} + {_PQ_D}) AS qs
@@ -1291,8 +1300,11 @@ def _pq_exact_top10(e: DataFrame) -> DataFrame:
     ground truth, test-scale-only by construction (crossJoin). Depends
     only on the corpus, not on any codebook, so an A/B key computes it
     ONCE and passes it to both _pq_search calls."""
-    q = e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    q = (
+        e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     )
     # spread the corpus before the broadcast fan-out: e arrives in 1-2
     # scan partitions, and the crossJoin multiplies each row by |q| —
@@ -1354,8 +1366,11 @@ def _pq_search(
         .select("vec_id", "s", "cid")
     )
 
-    q = e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    q = (
+        e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_QUERY_LIMIT)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     )
     qsub = _pq_sub_explode(
         q.withColumnRenamed("qe", "e"), F.col("e"), "qs"
@@ -1491,10 +1506,14 @@ _PQ_TRAINED_RECALL_FLOOR = 0.05
 @query(
     "llm_ann_pq_trained",
     oracle=f"""
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-            WHERE vec_id % {_PQ_QUERY_MOD} = 0) AS n_queries,
-           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-            WHERE vec_id % {_PQ_QUERY_MOD} = 0) * 10 AS n_rows,
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT vec_id FROM embeddings
+              WHERE vec_id % {_PQ_QUERY_MOD} = 0
+              ORDER BY vec_id LIMIT {_PQ_QUERY_LIMIT})) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT vec_id FROM embeddings
+              WHERE vec_id % {_PQ_QUERY_MOD} = 0
+              ORDER BY vec_id LIMIT {_PQ_QUERY_LIMIT})) * 10 AS n_rows,
            true AS gain_ok,
            true AS recall_floor_ok
     """,
@@ -1635,7 +1654,12 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HN_ANCHOR_MOD = 97  # anchors: vec_id = 0 (mod 97) — sized so the anchor x corpus probe stays sweep-tractable at sf1
+_HN_ANCHOR_MOD = 97  # anchor spread: vec_id = 0 (mod 97) …
+# … capped at a fixed SIZE (same reasoning as _PQ_QUERY_LIMIT: a mod
+# filter alone is a fixed fraction, so the anchor×corpus probe would
+# scale quadratically; the cap binds only above n≈25k, leaving every
+# attested scale bit-identical while sf10+ stays linear at 256·n).
+_HN_ANCHOR_LIMIT = 256
 
 _HARD_NEG_ORACLE = f"""
     WITH e AS (
@@ -1643,6 +1667,7 @@ _HARD_NEG_ORACLE = f"""
     ), anchors AS (
       SELECT vec_id AS aid, label AS alabel, e AS ae FROM e
       WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+      ORDER BY vec_id LIMIT {_HN_ANCHOR_LIMIT}
     ), pos AS (
       SELECT a.aid, v.vec_id,
              list_sum(list_transform(list_zip(a.ae, v.e),
@@ -1682,7 +1707,8 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar DIFFERENT-label vector (hardest negative), plus the
     margin between them — the triplet-selection pass that decides
     contrastive batch quality. The anchor set is a deterministic
-    sliver (mod-97, ``_HN_ANCHOR_MOD``), broadcast against the corpus,
+    sliver (mod-97 spread, capped at ``_HN_ANCHOR_LIMIT`` so it is a
+    fixed SIZE, not a fixed fraction), broadcast against the corpus,
     so the scan is one map-side pass per side with a per-anchor argmax
     window — candidates never materialize beyond (anchor x corpus)
     rows with 8-byte scores. Scores are round-then-DECIMAL dots: the
@@ -1693,10 +1719,15 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     here."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
-    anchors = e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("alabel"),
-        F.col("e").alias("ae"),
+    anchors = (
+        e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_HN_ANCHOR_LIMIT)
+        .select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("alabel"),
+            F.col("e").alias("ae"),
+        )
     )
     dec_dot = F.expr(_DEC_DOT.format(a="ae", b="e"))
     # spread the corpus before the |anchors|-fold broadcast fan-out —

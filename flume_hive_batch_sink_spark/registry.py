@@ -24,6 +24,7 @@ ORACLES: dict[str, str] = {}
 _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.llm.mixing",
     "flume_hive_batch_sink_spark.operators.udtf_arrow",
+    "flume_hive_batch_sink_spark.llm.quality",
 )
 
 
@@ -61,6 +62,7 @@ def load_all_operators() -> None:
     # inserting mid-order would reshuffle the attested 50-key prefix.
     from flume_hive_batch_sink_spark.llm import mixing  # noqa: F401
     from flume_hive_batch_sink_spark.operators import udtf_arrow  # noqa: F401
+    from flume_hive_batch_sink_spark.llm import quality  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

@@ -884,3 +884,17 @@ def test_udtf_python_arrow_plan(spark):
     assert "ArrowEvalPythonUDTF" in tree
     assert "BatchEvalPythonUDTF" not in tree
     assert "Exchange" not in tree
+
+
+def test_gopher_repetition_zero_shuffle(spark):
+    """llm_gopher_repetition's repetition signals must be pure map-side
+    expressions: split -> zip_with bigrams -> array_sort -> aggregate()
+    run-length scan, ZERO Exchange and zero Python. The corpus-level
+    alternative (explode bigrams -> groupBy(doc_id, bigram) -> max)
+    would shuffle |corpus| bigram rows; the per-doc array form makes
+    the quality flag ride the initial scan at any scale."""
+    p = plan(registry.QUERIES["llm_gopher_repetition"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree  # no UDF fallback
+    assert "Generate" not in tree  # no explode — arrays stay arrays
