@@ -119,3 +119,98 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup_frac <= F.lit(_DUP_TOKEN_MAX))
         ).alias("keep"),
     )
+
+
+_CCNET_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+    ), tot AS (SELECT SUM(cnt) AS n FROM vocab
+    ), scored AS (
+      SELECT wd.doc_id, wd.lang,
+             CAST(ROUND(-ln(CAST(v.cnt AS DOUBLE) / t.n), 9)
+                  AS DECIMAL(20,9)) AS nll_term
+      FROM words wd JOIN vocab v ON wd.w = v.w, tot t
+    ), perdoc AS (
+      SELECT doc_id, lang,
+             CAST(ROUND(CAST(SUM(nll_term) AS DOUBLE) / count(*), 6)
+                  AS DOUBLE) AS avg_nll
+      FROM scored GROUP BY doc_id, lang
+    ), cuts AS (
+      SELECT lang,
+             ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS t1,
+             ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS t2
+      FROM perdoc GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, p.avg_nll,
+           CASE WHEN p.avg_nll <= c.t1 THEN 'head'
+                WHEN p.avg_nll <= c.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM perdoc p JOIN cuts c ON p.lang = c.lang
+"""
+
+
+@query("llm_ccnet_perplexity_bucket", oracle=_CCNET_ORACLE)
+def llm_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    score every document with a corpus-trained unigram LM (the
+    llm_unigram_logprob recipe — per-term -ln p rounded to 9 dp and
+    DECIMAL-summed so avg_nll is aggregation-order-free across engines),
+    then split each LANGUAGE into head / middle / tail at the exact
+    per-language NLL tertiles. CCNet keeps head+middle for pre-training;
+    the bucket label is the standard quality stratum fed to samplers
+    like llm_temperature_mix.
+
+    Bucketing is threshold-comparison, not global ranking: the two
+    tertile cutoffs per language come from one distributed
+    ``percentile`` aggregate (map-side partial, 2 doubles per language
+    out), broadcast back onto the scored docs — no global sort, no
+    single-partition window, so the assignment pass stays fully
+    parallel at any corpus size (production CCNet computes the same
+    thresholds from a sample; here they're exact so the oracle can
+    reproduce them). Both engines interpolate quantiles with the same
+    p*(n-1) linear rule on identical 6-dp inputs, and the cutoffs are
+    rounded back to the 6-dp grain of avg_nll so a ULP of interpolation
+    noise can never flip a `<=` on a document tied with the cutoff
+    (observed once at sf0.1 before the rounding was added)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    perdoc = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.log(F.col("cnt").cast("double") / F.col("n")), 9)
+            .cast("decimal(20,9)")
+            .alias("nll_term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum("nll_term").cast("double") / F.count("*"), 6
+            ).alias("avg_nll")
+        )
+    )
+    cuts = perdoc.groupBy("lang").agg(
+        F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    return (
+        perdoc.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -25,6 +25,7 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.llm.mixing",
     "flume_hive_batch_sink_spark.operators.udtf_arrow",
     "flume_hive_batch_sink_spark.llm.quality",
+    "flume_hive_batch_sink_spark.operators.interval_join",
 )
 
 
@@ -63,6 +64,7 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.llm import mixing  # noqa: F401
     from flume_hive_batch_sink_spark.operators import udtf_arrow  # noqa: F401
     from flume_hive_batch_sink_spark.llm import quality  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import interval_join  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

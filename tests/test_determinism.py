@@ -171,6 +171,11 @@ RISKY = [
     "llm_temperature_mix",
     "sample_token_budget",
     "llm_quality_calibration",
+    # round-11 additions: float tertile cutoffs behind a 6-dp round
+    # (ULP-tie-prone CASE thresholds), bucket-blocked overlap join whose
+    # one-canonical-bucket dedup must not double-count pairs
+    "llm_ccnet_perplexity_bucket",
+    "join_interval_overlap",
 ]
 
 

@@ -898,3 +898,31 @@ def test_gopher_repetition_zero_shuffle(spark):
     assert "Exchange" not in tree
     assert "Python" not in tree  # no UDF fallback
     assert "Generate" not in tree  # no explode — arrays stay arrays
+
+
+def test_interval_overlap_is_bucket_blocked_hash_join(spark):
+    """join_interval_overlap must run as a broadcast HASH join on the
+    month-bucket equi key — never a BroadcastNestedLoopJoin or
+    CartesianProduct over the raw overlap predicate. The LIMIT-capped
+    campaign dimension must compile to TakeOrderedAndProject (no full
+    sort), and the final per-campaign aggregate must be partial
+    (map-side HashAggregate) before its single Exchange."""
+    p = plan(registry.QUERIES["join_interval_overlap"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ccnet_bucket_assignment_has_no_global_window(spark):
+    """llm_ccnet_perplexity_bucket assigns buckets by comparing to two
+    broadcast per-language cutoffs — NOT by a global NTILE, which would
+    move the whole scored corpus into one partition. The plan must have
+    no Window node at all, and the cutoff join must be a broadcast."""
+    p = plan(registry.QUERIES["llm_ccnet_perplexity_bucket"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "Python" not in tree  # pure codegen scoring
