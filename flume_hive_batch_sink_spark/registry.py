@@ -26,6 +26,7 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.operators.udtf_arrow",
     "flume_hive_batch_sink_spark.llm.quality",
     "flume_hive_batch_sink_spark.operators.interval_join",
+    "flume_hive_batch_sink_spark.llm.tokenize",
 )
 
 
@@ -65,6 +66,7 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.operators import udtf_arrow  # noqa: F401
     from flume_hive_batch_sink_spark.llm import quality  # noqa: F401
     from flume_hive_batch_sink_spark.operators import interval_join  # noqa: F401
+    from flume_hive_batch_sink_spark.llm import tokenize  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

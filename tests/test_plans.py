@@ -926,3 +926,19 @@ def test_ccnet_bucket_assignment_has_no_global_window(spark):
     assert "Window" not in tree
     assert "BroadcastHashJoin" in tree
     assert "Python" not in tree  # pure codegen scoring
+
+
+def test_bpe_encode_broadcasts_vocab_and_aggs_corpus_once(spark):
+    """llm_bpe_encode's final plan must join the corpus-side (lang,
+    word, cnt) aggregate against the encoded vocabulary via a
+    BroadcastHashJoin (the vocab is bounded; the corpus side must never
+    re-shuffle for the join), with the corpus aggregation partial
+    (map-side HashAggregate) before its single Exchange. No Python
+    anywhere — encode is chained codegen string replaces."""
+    p = plan(registry.QUERIES["llm_bpe_encode"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Python" not in tree
+    assert tree.count("HashAggregate") >= 2  # partial + final
