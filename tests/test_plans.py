@@ -942,3 +942,18 @@ def test_bpe_encode_broadcasts_vocab_and_aggs_corpus_once(spark):
     assert "CartesianProduct" not in tree
     assert "Python" not in tree
     assert tree.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """join_asof_nearest must keep join_asof's scalable shape: the
+    union+window formulation with exactly ONE Exchange (on user_id) and
+    ONE Sort feeding every window frame — no join operator of any kind
+    (the O(n*m) range-join + row_number alternative) and no second
+    shuffle between the prev/next frames."""
+    p = plan(registry.QUERIES["join_asof_nearest"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert "Join" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Window" in tree
