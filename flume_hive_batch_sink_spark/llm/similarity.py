@@ -63,6 +63,19 @@ def cosine_pairs(
 
 _BLOCK = 1024
 
+# Cache cap for the pair-expanded payload relation (block_pairs): each
+# row carries BOTH blocks' full vector payloads (~2·_BLOCK·dim float64 ≈
+# 1 MB), so the cached relation is O(#blocks²) MEMORY — ~210 rows /
+# 0.2 GB at 20k vectors but ~19k rows / 20 GB at 200k vectors, where the
+# columnar cache BUILD alone (inMemoryColumnarStorage batches of
+# hundreds of 1 MB rows per partition) OOMs a default 16g heap. The
+# round-11 sf10 rehearsal hit exactly that. Past the cap the pairs
+# relation streams per query — still derived from the cached O(n) block
+# index, so the extra cost is one re-shuffle of the payload fan-out,
+# which is disk-bounded, not heap-bounded. 64 blocks ⇒ ≤2080 cached
+# pair rows ≈ 2 GB spread over the shuffle partitions — safe.
+_PAIRS_CACHE_MAX_BLOCKS = 64
+
 # Block index cache: the block-grouped vector representation is the
 # "index build" half of a vector-search system — built once per dataset,
 # queried many times (the same split every ANN system makes: IVF/LSH
@@ -181,6 +194,11 @@ def block_pairs(
     top-k / threshold / kNN query is a map-only stage over the cached
     partitions. k and thresholds live in the kernel, not the structure,
     so all query shapes share one cache entry per mode.
+
+    The cache is CAPPED at ``_PAIRS_CACHE_MAX_BLOCKS`` blocks: the
+    pair-expanded payload is O(#blocks²) memory, so past the cap it
+    streams per query instead (derived from the still-cached O(n)
+    block index). See the cap's comment for the sf10 OOM this guards.
     """
     if cache_key is not None:
         hit = _BLOCK_INDEX.get(emb, cache_key, f"pairs::{mode}")
@@ -191,7 +209,9 @@ def block_pairs(
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vb"))
     cond = F.col("blk_a") <= F.col("blk_b") if mode == "tri" else F.lit(True)
     pairs = a.join(b, cond).repartition(F.col("blk_a"), F.col("blk_b"))
-    if cache_key is not None:
+    # blocks is already cached+counted here (cache_key path), so this
+    # count is a metadata-cheap read, and the cap decision is exact.
+    if cache_key is not None and blocks.count() <= _PAIRS_CACHE_MAX_BLOCKS:
         pairs = pairs.cache()
         pairs.count()
         _BLOCK_INDEX.put(emb, cache_key, f"pairs::{mode}", pairs)

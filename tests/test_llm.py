@@ -447,3 +447,33 @@ def test_band_sweep_collision_sets_nest(spark):
     for prev, nxt in zip(order, order[1:]):
         assert rows[prev]["n_candidates"] >= rows[nxt]["n_candidates"]
         assert rows[prev]["n_hits"] >= rows[nxt]["n_hits"]
+
+
+def test_block_pairs_cache_capped_by_block_count(spark, monkeypatch):
+    """The pair-expanded payload relation is O(#blocks^2) memory, so
+    block_pairs must only cache it while the block count is within
+    _PAIRS_CACHE_MAX_BLOCKS — past the cap (the sf10 200k-vector OOM)
+    it must stream, while the O(n) block index stays cached. Shrink
+    _BLOCK so the sf0.01 embeddings span many blocks and drive both
+    sides of the cap."""
+    from flume_hive_batch_sink_spark.llm import similarity as sim
+    from flume_hive_batch_sink_spark.io import load
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    monkeypatch.setattr(sim, "_BLOCK", 64)
+    n_blocks = sim.block_index(emb).count()
+    assert n_blocks > 4  # the fixture spans enough blocks to test both sides
+
+    sim._BLOCK_INDEX.clear()
+    monkeypatch.setattr(sim, "_PAIRS_CACHE_MAX_BLOCKS", 4)
+    over = sim.block_pairs(emb, "tri", cache_key=SF_DIR)
+    assert not over.storageLevel.useMemory  # streams past the cap
+    assert len(sim._BLOCK_INDEX) == 1  # block index cached, pairs not
+
+    sim._BLOCK_INDEX.clear()
+    monkeypatch.setattr(sim, "_PAIRS_CACHE_MAX_BLOCKS", n_blocks)
+    under = sim.block_pairs(emb, "tri", cache_key=SF_DIR)
+    assert under.storageLevel.useMemory  # cached within the cap
+    assert len(sim._BLOCK_INDEX) == 2  # index + pairs entries
+    assert under.count() == n_blocks * (n_blocks + 1) // 2 == over.count()
+    sim._BLOCK_INDEX.clear()
