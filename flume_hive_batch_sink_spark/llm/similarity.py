@@ -610,11 +610,26 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "cos_c", dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    # Argmax via map-side-combined max_by, NOT a row_number window: the
+    # window form shuffles all n·k scored rows — each still carrying the
+    # 512-byte vector payload — ≈90 GB at 200k vectors (916 s in the
+    # round-11 sf10 rehearsal). Partial aggregation reduces each map
+    # partition to one row per vec_id before the exchange, so the
+    # shuffle is O(n) rows; projecting the payload OUT first keeps the
+    # aggregate's local sort to three scalar columns, and the payload
+    # re-attaches via an O(n) equi join. Tie order matches the oracle's
+    # window (cos DESC, cid ASC): max of (cos_c, -cid) picks the
+    # highest cosine, then the lowest cid.
     assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "n", "cid")
+        scored.select("vec_id", "cid", "cos_c")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("nc")),
+            ).alias("cid")
+        )
+        .join(e, "vec_id")
     )
     a = assign.select(
         "vec_id", F.col("e").alias("ea"), F.col("n").alias("na"), "cid"
@@ -627,12 +642,23 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, "cid").filter(F.col("vec_id") != F.col("nn_id"))
     cos_raw = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    wn = Window.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
+    # Same max_by-over-window swap for the in-list search: the pair
+    # fan-out is Σ|cluster|² rows, and partial aggregation collapses
+    # them per vec_id before any second exchange.
     return (
         pairs.withColumn("cos_raw", cos_raw)
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "nn_id", F.round("cos_raw", 4).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("nn_id"), F.col("cos_raw")),
+                F.struct(F.col("cos_raw"), (-F.col("nn_id")).alias("nn")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.nn_id").alias("nn_id"),
+            F.round("best.cos_raw", 4).alias("cos"),
+        )
     )
 
 

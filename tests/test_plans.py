@@ -609,6 +609,17 @@ def test_ann_ivf_broadcast_centroids_hash_join_lists(spark):
     assert "CartesianProduct" not in p
     assert "Broadcast" in p  # centroid side rides a broadcast exchange
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p  # cid equi join
+    # Both argmaxes (assignment and in-list search) must be
+    # map-side-combined max_by aggregations, never row_number windows:
+    # the window form shuffles every scored/pair row — with the vector
+    # payload still attached on the assignment side (~90 GB / 916 s at
+    # sf10) — while partial aggregation crosses the exchange with O(n)
+    # rows. max_by's struct ordering key compiles to SortAggregate;
+    # partial+final pairs for both phases means ≥4 aggregate nodes.
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree
+    n_aggs = tree.count("SortAggregate") + tree.count("HashAggregate")
+    assert n_aggs >= 4
 
 
 def test_centroid_probes_join_shuffles_scalars_not_arrays(spark):
