@@ -607,7 +607,14 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("n").alias("cn"),
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+    # Spread the corpus before the broadcast fan-out (the repartition
+    # lesson): the embeddings scan arrives in O(file row groups)
+    # partitions, and the crossJoin multiplies each row by k — at sf10
+    # that is 90M dot products that would otherwise run on a handful of
+    # cores, because AQE sizes by map-side bytes and is blind to join
+    # fan-out.
+    par = e.sparkSession.sparkContext.defaultParallelism
+    scored = e.repartition(par).crossJoin(F.broadcast(cent)).withColumn(
         "cos_c", dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))
     )
     # Argmax via map-side-combined max_by, NOT a row_number window: the
