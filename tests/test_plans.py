@@ -968,3 +968,17 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     assert "Join" not in tree
     assert "CartesianProduct" not in tree
     assert "Window" in tree
+
+
+def test_lttb_broadcast_anchors_no_window(spark):
+    """ts_downsample_lttb's anchors (per-series extent, per-bucket
+    sums) must reach the point relation as BROADCAST joins — the keyed
+    side is bounded by series x B — and the per-bucket argmax must be a
+    map-side-combined max_by aggregate, never a row_number window over
+    the raw series."""
+    p = plan(registry.QUERIES["ts_downsample_lttb"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
