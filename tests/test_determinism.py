@@ -176,6 +176,12 @@ RISKY = [
     # one-canonical-bucket dedup must not double-count pairs
     "llm_ccnet_perplexity_bucket",
     "join_interval_overlap",
+    # round-11 tail: greedy integer-weighted merge argmax (lexicographic
+    # ties), integer-µs |dt| pick with at-or-before tie rule, exact-
+    # integer triangle argmax with event_id tiebreak
+    "llm_bpe_encode",
+    "join_asof_nearest",
+    "ts_downsample_lttb",
 ]
 
 
