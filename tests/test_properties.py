@@ -642,3 +642,84 @@ def test_ks_quantize_bounds_grain(spark, xs, q):
     # Python's // floors, so this is the exact contract per row —
     # including negatives, where truncation would differ
     assert all(r.qx == (r.x // q) * q for r in rows)
+
+
+def test_asof_nearest_semantics_synthetic(spark, tmp_path):
+    """Pin join_asof_nearest's edge semantics on a hand-built events
+    table: same-ts signup counts as at-or-before, exact |dt| ties go to
+    the at-or-before side, users with no signup get NULL, and a
+    signup row is its own nearest match (dt=0)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flume_hive_batch_sink_spark import registry
+    from flume_hive_batch_sink_spark.registry import load_all_operators
+
+    load_all_operators()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: signups (sid) at t=10 (id 100) and t=20 (id 200)
+        (100, t(10), 1, "signup", 1.0, "{}"),
+        (200, t(20), 1, "signup", 1.0, "{}"),
+        (1, t(5), 1, "view", 1.0, "{}"),    # before both -> next 100
+        (2, t(10), 1, "view", 1.0, "{}"),   # same-ts -> prev 100
+        (3, t(14), 1, "view", 1.0, "{}"),   # |4| vs |6| -> prev 100
+        (4, t(15), 1, "view", 1.0, "{}"),   # |5| vs |5| tie -> prev 100
+        (5, t(16), 1, "view", 1.0, "{}"),   # |6| vs |4| -> next 200
+        (6, t(99), 1, "view", 1.0, "{}"),   # after both -> prev 200
+        # user 2: no signup -> NULL
+        (7, t(12), 2, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    out = {
+        r["event_id"]: (r["nearest_sid"], r["dir"])
+        for r in registry.QUERIES["join_asof_nearest"](spark, d).collect()
+    }
+    assert out[1] == (100, "next")
+    assert out[2] == (100, "prev")
+    assert out[3] == (100, "prev")
+    assert out[4] == (100, "prev")  # exact tie -> at-or-before side
+    assert out[5] == (200, "next")
+    assert out[6] == (200, "prev")
+    assert out[7] == (None, None)
+    assert out[100] == (100, "prev") and out[200] == (200, "prev")
+
+
+def test_lttb_invariants_on_fixture(spark):
+    """ts_downsample_lttb invariants, recomputed independently: one
+    output row per non-empty (series, bucket); n_pts sums to the series
+    row count; the first bucket keeps the series' earliest point
+    (min ts, tie min event_id) — the edge-pinning rule."""
+    from flume_hive_batch_sink_spark import registry
+    from flume_hive_batch_sink_spark.io import load
+    from flume_hive_batch_sink_spark.operators.downsample import _LTTB_B
+
+    sf = "/root/testdata/sf0.01"
+    out = registry.QUERIES["ts_downsample_lttb"](spark, sf).toPandas()
+    ev = (
+        load(spark, sf, "events")
+        .select("event_type", "event_id", F.unix_micros("ts").alias("t"))
+        .toPandas()
+    )
+    for series, g in ev.groupby("event_type"):
+        o = out[out.event_type == series]
+        assert len(o) <= _LTTB_B
+        span = (g.t.max() - g.t.min()) // 1_000_000 + 1
+        buckets = ((g.t - g.t.min()) // 1_000_000) * _LTTB_B // span
+        assert sorted(o.bucket) == sorted(buckets.unique())
+        assert o.n_pts.sum() == len(g)
+        first = g.sort_values(["t", "event_id"]).iloc[0]
+        assert o[o.bucket == 0].event_id.iloc[0] == first.event_id
