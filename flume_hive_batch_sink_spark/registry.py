@@ -29,6 +29,7 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.llm.tokenize",
     "flume_hive_batch_sink_spark.operators.asof_nearest",
     "flume_hive_batch_sink_spark.operators.downsample",
+    "flume_hive_batch_sink_spark.operators.regression",
 )
 
 
@@ -71,6 +72,7 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.llm import tokenize  # noqa: F401
     from flume_hive_batch_sink_spark.operators import asof_nearest  # noqa: F401
     from flume_hive_batch_sink_spark.operators import downsample  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import regression  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

@@ -982,3 +982,14 @@ def test_lttb_broadcast_anchors_no_window(spark):
     assert tree.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_regression_agg_is_partial_hash_agg(spark):
+    """agg_regression_by_group's REGR_* fits are algebraic aggregates:
+    the plan must show a map-side partial HashAggregate before a single
+    Exchange — the shuffle carries merged moment tuples, never rows."""
+    p = plan(registry.QUERIES["agg_regression_by_group"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 2
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree
