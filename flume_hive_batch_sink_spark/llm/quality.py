@@ -138,11 +138,19 @@ _CCNET_ORACLE = """
              CAST(ROUND(CAST(SUM(nll_term) AS DOUBLE) / count(*), 6)
                   AS DOUBLE) AS avg_nll
       FROM scored GROUP BY doc_id, lang
+    ), grid AS (
+      SELECT lang, avg_nll, CAST(count(*) AS BIGINT) AS c
+      FROM perdoc GROUP BY lang, avg_nll
+    ), gridcum AS (
+      SELECT lang, avg_nll,
+             SUM(c) OVER (PARTITION BY lang ORDER BY avg_nll) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS nl
+      FROM grid
     ), cuts AS (
       SELECT lang,
-             ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS t1,
-             ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS t2
-      FROM perdoc GROUP BY lang
+             MIN(CASE WHEN cum >= ceil(nl / 3.0) THEN avg_nll END) AS t1,
+             MIN(CASE WHEN cum >= ceil(2 * nl / 3.0) THEN avg_nll END) AS t2
+      FROM gridcum GROUP BY lang
     )
     SELECT p.doc_id, p.lang, p.avg_nll,
            CASE WHEN p.avg_nll <= c.t1 THEN 'head'
@@ -163,18 +171,23 @@ def llm_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket label is the standard quality stratum fed to samplers
     like llm_temperature_mix.
 
-    Bucketing is threshold-comparison, not global ranking: the two
-    tertile cutoffs per language come from one distributed
-    ``percentile`` aggregate (map-side partial, 2 doubles per language
-    out), broadcast back onto the scored docs — no global sort, no
-    single-partition window, so the assignment pass stays fully
-    parallel at any corpus size (production CCNet computes the same
-    thresholds from a sample; here they're exact so the oracle can
-    reproduce them). Both engines interpolate quantiles with the same
-    p*(n-1) linear rule on identical 6-dp inputs, and the cutoffs are
-    rounded back to the 6-dp grain of avg_nll so a ULP of interpolation
-    noise can never flip a `<=` on a document tied with the cutoff
-    (observed once at sf0.1 before the rounding was added)."""
+    Bucketing is threshold-comparison, not global ranking, and the
+    cutoffs are ORDER-EXACT, not interpolated: per language the docs
+    collapse to a compact (lang, avg_nll) → count grid (bounded by the
+    distinct 6-dp NLL values, not by corpus size), a cumulative count
+    over that grid finds the element at rank ⌈n/3⌉ / ⌈2n/3⌉
+    (percentile_disc semantics), and those exact grid elements broadcast
+    back onto the scored docs. Because t1/t2 are actual avg_nll values
+    from the shared 6-dp grid — never a float interpolation — there is
+    no ULP noise for a rounding boundary to amplify: both engines pick
+    bit-identical cutoffs by rank arithmetic alone (the earlier
+    quantile_cont+round(6) version could still flip a tied document's
+    bucket when the two engines' interpolations straddled a 0.5e-6
+    boundary). The rank window runs over the per-lang VALUE GRID, so no
+    single-partition data-sized window exists; the assignment pass stays
+    fully parallel at any corpus size (production CCNet computes the
+    same thresholds from a sample; here they're exact so the oracle can
+    reproduce them)."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -198,9 +211,25 @@ def llm_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll")
         )
     )
-    cuts = perdoc.groupBy("lang").agg(
-        F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("t1"),
-        F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("t2"),
+    from pyspark.sql.window import Window
+
+    # order-exact tertile cutoffs: rank arithmetic over the compact
+    # (lang, avg_nll) grid — the cutoff IS a grid element, so no
+    # interpolation noise exists for the two engines to disagree on
+    grid = perdoc.groupBy("lang", "avg_nll").agg(F.count("*").alias("c"))
+    gridcum = grid.select(
+        "lang",
+        "avg_nll",
+        F.sum("c").over(Window.partitionBy("lang").orderBy("avg_nll")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("nl"),
+    )
+    cuts = gridcum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("nl") / 3.0), F.col("avg_nll"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(2 * F.col("nl") / 3.0), F.col("avg_nll"))
+        ).alias("t2"),
     )
     return (
         perdoc.join(F.broadcast(cuts), "lang")

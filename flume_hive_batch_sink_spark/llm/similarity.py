@@ -556,9 +556,9 @@ _IVF_ORACLE = f"""
         SELECT e.vec_id, c.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(
+                 ORDER BY COALESCE(list_cosine_similarity(
                    CAST(e.embedding AS DOUBLE[]),
-                   CAST(c.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+                   CAST(c.embedding AS DOUBLE[])), -2.0) DESC, c.cid) AS rn
         FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
     )
     SELECT vec_id, nn_id, cos FROM (
@@ -568,9 +568,9 @@ _IVF_ORACLE = f"""
                AS cos,
              row_number() OVER (
                PARTITION BY ea.vec_id
-               ORDER BY list_cosine_similarity(
+               ORDER BY COALESCE(list_cosine_similarity(
                  CAST(ea.embedding AS DOUBLE[]),
-                 CAST(eb.embedding AS DOUBLE[])) DESC, eb.vec_id) AS rn
+                 CAST(eb.embedding AS DOUBLE[])), -2.0) DESC, eb.vec_id) AS rn
       FROM embeddings ea
       JOIN assign aa ON aa.vec_id = ea.vec_id
       JOIN assign ab ON ab.cid = aa.cid AND ab.vec_id <> ea.vec_id
@@ -614,8 +614,18 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cores, because AQE sizes by map-side bytes and is blind to join
     # fan-out.
     par = e.sparkSession.sparkContext.defaultParallelism
+    # coalesce to a sentinel below any real cosine: a zero-norm embedding
+    # makes the division NULL (non-ANSI), and max_by SKIPS rows whose
+    # ordering key is NULL — the degenerate vector would silently drop
+    # out of the pair search while the oracle's window keeps it. The
+    # sentinel gives both engines the identical arbitrary-centroid
+    # treatment (oracle mirrors with COALESCE(..., -2.0)).
     scored = e.repartition(par).crossJoin(F.broadcast(cent)).withColumn(
-        "cos_c", dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))
+        "cos_c",
+        F.coalesce(
+            dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")),
+            F.lit(-2.0),
+        ),
     )
     # Argmax via map-side-combined max_by, NOT a row_number window: the
     # window form shuffles all n·k scored rows — each still carrying the
@@ -658,7 +668,13 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by(
                 F.struct(F.col("nn_id"), F.col("cos_raw")),
-                F.struct(F.col("cos_raw"), (-F.col("nn_id")).alias("nn")),
+                # same NULL-cosine sentinel as the assignment stage: a
+                # zero-norm neighbor must rank below every real cosine
+                # in BOTH engines, not vanish from max_by
+                F.struct(
+                    F.coalesce(F.col("cos_raw"), F.lit(-2.0)),
+                    (-F.col("nn_id")).alias("nn"),
+                ),
             ).alias("best")
         )
         .select(

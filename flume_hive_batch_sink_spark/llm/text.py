@@ -371,12 +371,15 @@ def _bpe_oracle() -> str:
       SELECT w1, w2 FROM p{r}
       GROUP BY w1, w2 ORDER BY count(*) DESC, w1, w2 LIMIT 1
     ), s{r + 1} AS (
+      -- COALESCE: an empty b{r} (merges exhausted) makes the scalar
+      -- subqueries NULL and replace() NULL out the state; carry the
+      -- state forward unchanged instead, matching the engine's break
       SELECT doc_id,
-             replace(s,
+             COALESCE(replace(s,
                '|' || (SELECT w1 FROM b{r}) || '||'
                    || (SELECT w2 FROM b{r}) || '|',
                '|' || (SELECT w1 FROM b{r}) || '_'
-                   || (SELECT w2 FROM b{r}) || '|') AS s
+                   || (SELECT w2 FROM b{r}) || '|'), s) AS s
       FROM s{r}
     )""")
     parts.append(f"""
@@ -439,13 +442,19 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-        best = (
+        rows = (
             pairs.groupBy("w1", "w2")
             .count()
             .orderBy(F.col("count").desc(), "w1", "w2")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # merges exhausted (every doc a single token): no-op the
+            # remaining rounds, the fixed point the oracle's COALESCE
+            # keeps
+            break
+        best = rows[0]
         pat = f"|{best.w1}||{best.w2}|"
         rep = f"|{best.w1}_{best.w2}|"
         state = state.withColumn(

@@ -70,10 +70,13 @@ def _bpe_encode_oracle() -> str:
     ), b{r} AS (
       SELECT w1, w2 FROM p{r} ORDER BY c DESC, w1, w2 LIMIT 1
     ), s{r + 1} AS (
+      -- LEFT JOIN + COALESCE: an empty b{r} (merges exhausted) must
+      -- carry the state forward unchanged, matching the engine's loop
+      -- break — a plain cross join would silently EMPTY the state
       SELECT word, wcnt,
-             replace(s, '|' || w1 || '||' || w2 || '|',
-                     '|' || w1 || w2 || '|') AS s
-      FROM s{r}, b{r}
+             COALESCE(replace(s, '|' || w1 || '||' || w2 || '|',
+                              '|' || w1 || w2 || '|'), s) AS s
+      FROM s{r} LEFT JOIN b{r} ON TRUE
     )""")
     parts.append(f"""
     , enc AS (
@@ -150,13 +153,19 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p"),
         ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"), "wcnt")
-        best = (
+        rows = (
             pairs.groupBy("w1", "w2")
             .agg(F.sum("wcnt").alias("c"))
             .orderBy(F.col("c").desc(), "w1", "w2")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # merges exhausted (degenerate corpus whose vocabulary fully
+            # merged before _ENC_ROUNDS): no-op the remaining rounds, the
+            # same fixed point the oracle's LEFT JOIN + COALESCE reaches
+            break
+        best = rows[0]
         state = state.withColumn(
             "s",
             F.replace(

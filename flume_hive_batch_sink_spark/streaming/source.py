@@ -113,7 +113,18 @@ def _file_chunk_stream(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
     LAST — after newer chunks advanced the watermark — so its rows
     arrive late. File order is pinned via mtime (the file source lists
     by modification time) and ``maxFilesPerTrigger=1``.
+
+    The chunk files are written EXECUTOR-side in one job — repartition
+    on the chunk id, ``partitionBy("chunk")`` — so exactly one part
+    file lands per chunk directory (all rows of a chunk hash to one
+    task) and no data-sized ``toPandas()`` ever crosses the driver;
+    the driver only renames files and touches mtimes. The ntile window
+    itself is a deliberate global sort: the harness's determinism
+    contract (ts-ordered chunks) requires a total order, and the
+    production transport is the Kafka seam, not this replay path.
     """
+    import shutil
+
     from pyspark.sql.window import Window
 
     ev = load(spark, cfg.sf_dir, "events")
@@ -121,22 +132,27 @@ def _file_chunk_stream(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
     with_chunk = ev.withColumn("chunk", chunk)
     base = _tmpdir("stream_replay_")
     src = os.path.join(base, "src")
+    stage = os.path.join(base, "stage")
     os.makedirs(src, exist_ok=True)
 
     order = list(range(1, cfg.n_chunks + 1))
     if cfg.late_chunk:
         order = order[1:] + order[:1]  # oldest chunk arrives last
     now = time.time()
-    pdfs = {
-        c: with_chunk.filter(F.col("chunk") == c).drop("chunk").toPandas()
-        for c in range(1, cfg.n_chunks + 1)
-    }
+    (
+        with_chunk.repartition(cfg.n_chunks, "chunk")
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(stage)
+    )
     for i, c in enumerate(order):
+        cdir = os.path.join(stage, f"chunk={c}")
+        parts = [f for f in os.listdir(cdir) if f.startswith("part-")]
+        assert len(parts) == 1, f"chunk {c}: expected 1 file, got {parts}"
         path = os.path.join(src, f"chunk_{i:03d}.parquet")
-        pdf = pdfs[c].copy()
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        pdf.to_parquet(path, index=False)
+        os.replace(os.path.join(cdir, parts[0]), path)
         os.utime(path, (now + i, now + i))
+    shutil.rmtree(stage, ignore_errors=True)
 
     return (
         spark.readStream.schema(EVENTS_SCHEMA)

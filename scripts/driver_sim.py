@@ -47,7 +47,9 @@ def main() -> int:
 
     n = entrymod.entry(spark).count()
     print(f"entry rows: {n}")
-    assert n >= 0
+    # the fixture is non-empty, so a correct entry() must produce rows —
+    # n >= 0 would be vacuous (count() cannot go negative)
+    assert n > 0, "entry() returned 0 rows on a non-empty fixture"
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

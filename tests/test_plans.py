@@ -130,10 +130,16 @@ def test_bucketed_join_has_no_shuffle(spark):
     """The bucketed fact⋈fact join must read pre-partitioned buckets and
     sort-merge join them with NO exchange on either side — the pay-once
     co-location contract."""
+    from flume_hive_batch_sink_spark.operators.relational import (
+        bucketed_join_plan,
+    )
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = registry.QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+        # the registered key returns localized rows (collected once under
+        # this same conf); the gate inspects the lazy plan it executed
+        df = bucketed_join_plan(spark, SF_DIR)
         p = plan(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
