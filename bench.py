@@ -29,6 +29,11 @@ Idle-recheck (default on): any query whose first-round rel_spread
 exceeds 0.5 is re-measured after a 3 s cooldown; both rounds are
 published under ``spread[q]["recheck"]`` and the reported timing is the
 median of the combined samples. SPARK_GRAFT_IDLE_CHECK=0 disables.
+
+Idle-host gate (round-12): if loadavg_1m ≥ 2 before warmup the bench
+waits up to SPARK_GRAFT_IDLE_WAIT_S (default 120 s) for the host to
+drain and publishes ``contended``: a true value marks the artifact's
+numbers as taken on a loaded machine (treat gaps as noise).
 """
 
 from __future__ import annotations
@@ -77,6 +82,20 @@ def run_spark_bench(sf_dir: str) -> dict:
     # up as loadavg >> the bench's own core usage, no judge rerun
     # needed to adjudicate plan-change vs machine-noise.
     load_before = round(os.getloadavg()[0], 2)
+    # Idle-host protocol (round-12): a pre-warmup loadavg ≥ 2 has twice
+    # put noisy numbers in an official artifact (r08, r11 — spreads up
+    # to 0.44 needing post-hoc adjudication). Instead of refusing (the
+    # per-round artifact must still exist), WAIT for the host to drain
+    # — up to SPARK_GRAFT_IDLE_WAIT_S (default 120 s), polling loadavg
+    # — and publish ``contended`` so a still-loaded run is flagged in
+    # the artifact itself rather than discovered by a judge rerun.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "120"))
+    waited = 0.0
+    while load_before >= 2.0 and waited < wait_budget:
+        time.sleep(10.0)
+        waited += 10.0
+        load_before = round(os.getloadavg()[0], 2)
+    contended = load_before >= 2.0
     load_all_operators()
     spark = get_spark("bench")
 
@@ -195,6 +214,8 @@ def run_spark_bench(sf_dir: str) -> dict:
             "before": load_before,
             "after": round(os.getloadavg()[0], 2),
         },
+        "contended": contended,
+        "idle_wait_s": round(waited, 1),
     }
 
 

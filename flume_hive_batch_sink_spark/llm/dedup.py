@@ -591,15 +591,28 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a short doc quoted/embedded inside a longer one, which
     symmetric Jaccard dilutes to ~|Sa|/|Sb| and misses.
 
-    The scale control is a DOCUMENT-FREQUENCY CAP instead of
-    llm_jaccard_dedup's prefix filter (prefix filtering is unsound for
-    containment: a contained set has NO guaranteed low-frequency prefix
-    match inside the big set's prefix): shingles appearing in more than
-    {cap} docs — boilerplate, templates — are dropped from BOTH the
-    index and the denominator (replayed identically by the oracle), so
-    candidate volume per shingle is ≤ cap² and total work tracks
-    rare-shingle co-occurrence, never corpus². The cap is the standard
-    inverted-index skew bound (same trick as stop-lists in AllPairs).
+    Two stacked scale controls, both exact:
+
+    1. DOCUMENT-FREQUENCY CAP — shingles in more than {cap} docs
+       (boilerplate, templates) are dropped from BOTH the index and the
+       denominator (replayed identically by the oracle): the standard
+       inverted-index stop-list bound.
+    2. PROBE-SIDE PREFIX FILTER (round-12; the PPJoin technique from
+       llm_jaccard_dedup, adapted to the asymmetric predicate) — under
+       the global rarest-first shingle order, C(a→b) ≥ t means at most
+       (1−t)·|Sa| of a's shingles miss Sb, so by pigeonhole one of a's
+       first ⌊(1−t)·|Sa|⌋+1 shingles IS in Sb: only that prefix of the
+       PROBE side generates candidates, against the FULL index side
+       (the index side has no prefix bound — all of Sa may sit in b's
+       tail, which is why plain PPJoin prefixes are unsound here and
+       only the probe side is prefixed). The positional filter is the
+       first-common-element bound: every common element sits at-or-
+       after the first one in BOTH rarest-first arrays, so a true pair
+       satisfies min(|Sa|−pa, |Sb|−pb) ≥ ⌈t·|Sa|⌉ at that match.
+       Candidate volume now tracks RARE-shingle · index co-occurrence
+       (prefixes are the rarest shingles by construction) instead of
+       Σ df² over every capped shingle; verification intersects hashed
+       shingle arrays per surviving pair in codegen.
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
@@ -610,32 +623,63 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh0 = docs.select("doc_id", F.explode(bigrams).alias("shingle"))
-    keep = (
+    freq = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("shingle")
     )
-    sh = sh0.join(keep, "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    # per-doc shingle arrays in the global rarest-first order (df asc,
+    # shingle asc) — the same order on every doc makes the positional
+    # filter sound
+    ranked = (
+        sh0.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "ranked"
+            )
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ni"))
     )
-    cont = F.col("ni").cast("double") / F.col("ns")
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .filter(cont >= _CONTAIN_T)
-        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    n = F.size("ranked")
+    plen = (n - F.ceil(F.lit(_CONTAIN_T) * n) + 1).cast("int")
+    hs = F.transform("ranked", lambda s: F.xxhash64(s["shingle"]))
+    docs_arr = ranked.select(
+        "doc_id",
+        hs.alias("hs"),
+        F.slice(hs, 1, plen).alias("prefix"),
+    )
+    probe = docs_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.size("hs").alias("na"),
+        F.posexplode("prefix").alias("pa", "h"),
+    )
+    index = docs_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.size("hs").alias("nb"),
+        F.posexplode("hs").alias("pb", "h"),
+    )
+    need = F.ceil(F.lit(_CONTAIN_T) * F.col("na"))
+    candidates = (
+        probe.join(
+            index,
+            (probe.h == index.h)
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("na") - F.col("pa") >= need)
+            & (F.col("nb") - F.col("pb") >= need),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    pb = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    verified = (
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("ni", F.size(F.array_intersect("ha", "hb")))
+    )
+    cont = F.col("ni").cast("double") / F.size("ha")
+    return verified.filter(cont >= _CONTAIN_T).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
 
 

@@ -97,3 +97,36 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_with_progress(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    spark: SparkSession,
+    fmt: str = "memory",
+) -> tuple:
+    """Run a streaming DataFrame to completion (availableNow) and return
+    ``(result, progress)``: the result table (None for the ``noop``
+    sink) and the per-micro-batch StreamingQueryProgress dicts — state
+    operator rows total/updated/REMOVED, watermark, per-batch duration.
+    The state-scale rehearsal (scripts/stream_scale.py) and the eviction
+    regression gate (tests/test_streaming.py) read these; the ``noop``
+    sink exercises the full pipeline without collecting data-sized
+    output to the driver, which is what a 10M-event replay needs."""
+    import json as _json
+
+    chk = _tmpdir(f"chk_{name}_")
+    w = (
+        stream_df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+    )
+    if fmt == "memory":
+        w = w.queryName(name)
+    q = w.start()
+    q.awaitTermination()
+    progress = [_json.loads(p.json) for p in q.recentProgress]
+    result = spark.table(name) if fmt == "memory" else None
+    return result, progress

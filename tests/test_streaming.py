@@ -377,3 +377,58 @@ def test_rocksdb_soak_kill9_recovery(spark):
         int(pdf["event_id"].sum()), pdf["event_id"].min(), pdf["event_id"].max()
     )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_eviction_bounds_state_rocksdb(spark):
+    """Round-12 state-scale regression gate: on a ts-ordered chunked
+    replay with the RocksDB provider, dropDuplicatesWithinWatermark's
+    state must be EVICTED as the watermark advances — numRowsRemoved > 0
+    across batches and the final state a small fraction of the input —
+    and the windowed aggregate must likewise close windows behind the
+    watermark. Pins the property the sf10 rehearsal measures
+    (scripts/stream_scale.py): without eviction, dedup state is
+    O(corpus) and the 100 TB posture collapses."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        s = harness.replay_chunks(spark, SF_DIR, n_chunks=4)
+        deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        _, progress = harness.run_with_progress(
+            deduped, "evict_gate_dedup", "append", spark, fmt="noop"
+        )
+        ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+        n_in = sum(p.get("numInputRows") or 0 for p in progress)
+        removed = sum(op.get("numRowsRemoved") or 0 for op in ops)
+        final_rows = ops[-1]["numRowsTotal"]
+        assert removed > 0, "watermark advanced but no dedup state evicted"
+        assert final_rows < 0.05 * n_in, (
+            f"dedup state not bounded: {final_rows} rows retained of {n_in}"
+        )
+
+        s = harness.replay_chunks(spark, SF_DIR, n_chunks=4)
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        _, progress = harness.run_with_progress(
+            agg, "evict_gate_window", "append", spark, fmt="noop"
+        )
+        ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+        removed = sum(op.get("numRowsRemoved") or 0 for op in ops)
+        final_rows = ops[-1]["numRowsTotal"]
+        assert removed > 0, "no closed windows evicted from agg state"
+        # open state = windows within the 10-min horizon of max ts (~1)
+        assert final_rows <= 4, f"window state not closing: {final_rows} open"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
