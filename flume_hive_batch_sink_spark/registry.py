@@ -30,6 +30,12 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.operators.asof_nearest",
     "flume_hive_batch_sink_spark.operators.downsample",
     "flume_hive_batch_sink_spark.operators.regression",
+    # round 12
+    "flume_hive_batch_sink_spark.llm.corpus_stats",
+    "flume_hive_batch_sink_spark.operators.rates",
+    "flume_hive_batch_sink_spark.llm.mime",
+    "flume_hive_batch_sink_spark.operators.table_audit",
+    "flume_hive_batch_sink_spark.streaming.session_window",
 )
 
 
@@ -73,6 +79,11 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.operators import asof_nearest  # noqa: F401
     from flume_hive_batch_sink_spark.operators import downsample  # noqa: F401
     from flume_hive_batch_sink_spark.operators import regression  # noqa: F401
+    from flume_hive_batch_sink_spark.llm import corpus_stats  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import rates  # noqa: F401
+    from flume_hive_batch_sink_spark.llm import mime  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import table_audit  # noqa: F401
+    from flume_hive_batch_sink_spark.streaming import session_window  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would
