@@ -140,7 +140,7 @@ def run_spark_bench(sf_dir: str) -> dict:
     # not first-touch cache materialization.
     io.load_all(spark, sf_dir)
 
-    reps = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7")))
+    reps = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "11")))
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     plan_build = 0.0
@@ -160,10 +160,17 @@ def run_spark_bench(sf_dir: str) -> dict:
         timings[name] = round(med, 4)
         # rel_spread = (max-min)/median: >1 means the machine was noisy
         # enough that a single-shot measurement of this query is moot.
+        # iqr_rel = (p75-p25)/median is the robust companion: on
+        # virtualized hosts a single vCPU-scheduling hiccup puts one
+        # outlier in almost every 10-sample window of a ~40 ms query —
+        # max-min flags that hiccup, the IQR tells you whether the
+        # MEDIAN (the reported number) is actually stable.
+        qs = statistics.quantiles(samples, n=4)
         spread[name] = {
             "min": round(min(samples), 4),
             "max": round(max(samples), 4),
             "rel_spread": round((max(samples) - min(samples)) / med, 3) if med else 0.0,
+            "iqr_rel": round((qs[2] - qs[0]) / med, 3) if med else 0.0,
             "n": reps,
         }
         # Idle-recheck (on by default; SPARK_GRAFT_IDLE_CHECK=0 disables):

@@ -936,13 +936,29 @@ def test_interval_overlap_is_bucket_blocked_hash_join(spark):
 def test_ccnet_bucket_assignment_has_no_global_window(spark):
     """llm_ccnet_perplexity_bucket assigns buckets by comparing to two
     broadcast per-language cutoffs — NOT by a global NTILE, which would
-    move the whole scored corpus into one partition. The plan must have
-    no Window node at all, and the cutoff join must be a broadcast."""
-    p = plan(registry.QUERIES["llm_ccnet_perplexity_bucket"](spark, SF_DIR))
+    move the whole scored corpus into one partition. Since round 12 the
+    cutoffs are order-exact ranks over the compact (lang, avg_nll)
+    count GRID, which legitimately uses per-language windows — but only
+    hash-partitioned ones over the post-aggregate grid: the plan must
+    contain no SinglePartition window anywhere, every Window must be
+    partitioned (by lang), and the cutoff join must be a broadcast."""
+    df = registry.QUERIES["llm_ccnet_perplexity_bucket"](spark, SF_DIR)
+    p = plan(df)
     tree = p.split("\n\n")[0]
-    assert "Window" not in tree
     assert "BroadcastHashJoin" in tree
     assert "Python" not in tree  # pure codegen scoring
+    simple = plan(df, mode="simple")
+    # every Window is PARTITIONED by lang (windowspecdefinition's first
+    # arg) and ranks the grid's avg_nll values — no unpartitioned/NTILE
+    # window ever sees corpus-sized input. (A SinglePartition exchange
+    # DOES exist in the plan: the 1-row scalar-total aggregate under
+    # the broadcast, which is partial-aggregated and fine.)
+    win_lines = [l for l in simple.split("\n") if "windowspecdefinition" in l]
+    assert win_lines, "expected the grid rank windows in the plan"
+    for line in win_lines:
+        assert "windowspecdefinition(lang" in line
+        assert "ntile" not in line
+    assert "hashpartitioning(lang" in simple
 
 
 def test_bpe_encode_broadcasts_vocab_and_aggs_corpus_once(spark):
