@@ -42,7 +42,7 @@ _SESSION_ORACLE = """
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 6 HOUR
+                       > INTERVAL 6 HOUR
                   THEN 1 ELSE 0 END AS new_s
       FROM events
     ), sess AS (
@@ -73,10 +73,13 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     last event falls within (gap + delay) of the corpus max ts is still
     open at end-of-stream and must NOT be emitted by either engine.
 
-    Spark session semantics pinned against the oracle: an event at
-    exactly prev_ts + gap starts a NEW session (session windows are
-    [start, last+gap) — end-exclusive), matching the oracle's
-    ``>= INTERVAL 6 HOUR`` island break; DECIMAL-cast sums keep
+    Spark session semantics pinned against the oracle (and by
+    tests/test_round12_keys.py on synthetic boundary data): an event at
+    EXACTLY prev_ts + gap still MERGES into the session — Spark merges
+    two session windows when next.start ≤ prev.end, and prev.end is
+    last_ts + gap, so the boundary is end-INCLUSIVE; only a strictly
+    larger gap starts a new session. The oracle's island break is
+    therefore strict ``> INTERVAL 6 HOUR``. DECIMAL-cast sums keep
     accumulation order irrelevant across engines."""
     s = harness.replay_chunks(spark, sf_dir, n_chunks=4)
     agg = (

@@ -1015,3 +1015,45 @@ def test_regression_agg_is_partial_hash_agg(spark):
     assert tree.count("HashAggregate") >= 2
     assert tree.count("Exchange") == 1
     assert "Window" not in tree
+
+
+def test_char_entropy_is_zero_shuffle_codegen(spark):
+    """llm_char_entropy_filter must compile to a pure map plan: ZERO
+    Exchange (the signal rides the corpus scan — the quality-flag
+    contract shared with llm_gopher_repetition) and zero Python."""
+    p = plan(registry.QUERIES["llm_char_entropy_filter"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree
+
+
+def test_mime_sniff_is_zero_shuffle_codegen(spark):
+    """multimodal_mime_sniff: binary construct + prefix classify is a
+    pure map plan — zero Exchange, zero Python."""
+    p = plan(registry.QUERIES["multimodal_mime_sniff"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Python" not in tree
+
+
+def test_wimbd_topk_is_takeordered_not_global_sort(spark):
+    """llm_wimbd_topngrams: the k=50 cut must be TakeOrderedAndProject
+    over the partially-aggregated counts (never a global Sort of the
+    full ngram vocabulary), with map-side combine before the single
+    count Exchange; the rank window touches only the 50 survivors."""
+    p = plan(registry.QUERIES["llm_wimbd_topngrams"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("HashAggregate") >= 2  # partial + final
+    assert "Python" not in tree
+
+
+def test_wilson_ci_single_exchange_partial_agg(spark):
+    """agg_ratio_ci_wilson: one map-side-combined aggregation — exactly
+    one Exchange in the plan, partial+final HashAggregate, interval math
+    per-row codegen."""
+    p = plan(registry.QUERIES["agg_ratio_ci_wilson"](spark, SF_DIR))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") >= 2
+    assert "Python" not in tree
