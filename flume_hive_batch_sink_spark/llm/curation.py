@@ -116,9 +116,15 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").alias("max_tok"),
         )
     )
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "j -> concat_ws(' ', split(text, ' ')[j - 1], split(text, ' ')[j]))"
+    # zip_with slices, not transform+element_at: the HOF-lambda indexed
+    # form re-evaluates the split per element (O(words²)/doc — round-12
+    # finding) and its sequence() descends for 1-word docs
+    _t = F.split("text", " ")
+    _m = F.greatest(F.size(_t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(_t, 1, _m),
+        F.slice(_t, 2, _m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bg = d.select("doc_id", bigrams.alias("bigrams"))
     dup_bigram = F.when(F.size("bigrams") == 0, F.lit(0.0)).otherwise(
@@ -173,14 +179,24 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     short docs)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    shingles = F.when(
-        F.size(toks) >= 5,
-        F.expr(
-            "transform(sequence(1, size(split(text,' ')) - 4), j -> "
-            "md5(concat_ws(' ', split(text,' ')[j-1], split(text,' ')[j], "
-            "split(text,' ')[j+1], split(text,' ')[j+2], split(text,' ')[j+3])))"
+    # arrays_zip over five aligned slices of ONE split — the HOF-lambda
+    # indexed form re-evaluated the split per element (O(5·words²)/doc,
+    # round-12 finding); the greatest() clamp replaces the size>=5 guard
+    # (all five slices empty for short docs)
+    m5 = F.greatest(F.size(toks) - 4, F.lit(0))
+    z5 = F.arrays_zip(
+        F.slice(toks, 1, m5),
+        F.slice(toks, 2, m5),
+        F.slice(toks, 3, m5),
+        F.slice(toks, 4, m5),
+        F.slice(toks, 5, m5),
+    )
+    shingles = F.transform(
+        z5,
+        lambda s: F.md5(
+            F.concat_ws(" ", s["0"], s["1"], s["2"], s["3"], s["4"])
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     grams = d.select(
         "doc_id", "source", F.explode(shingles).alias("g")
     )

@@ -293,13 +293,18 @@ def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    # element_at is 1-based like the oracle's DuckDB list indexing
+    # bigrams via zip_with over two aligned slices of ONE split (the
+    # llm_gopher_repetition idiom) — NOT transform(sequence,
+    # i -> element_at(t, i)): codegen does not CSE the array argument
+    # across a HOF lambda boundary, so each element_at re-evaluated the
+    # split and the per-doc cost went O(words²) (round-12 finding,
+    # measured 10× on the trigram sibling at sf10)
+    m = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
+        F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
     sh = docs.select("doc_id", F.explode(bigrams).alias("shingle"))
@@ -616,10 +621,15 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
+    # zip_with slices, not transform+element_at — see llm_jaccard_dedup:
+    # the HOF-lambda element_at form re-evaluates the split per access
+    # (O(words²) per doc, the round-12 finding)
+    m = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
     sh0 = docs.select("doc_id", F.explode(bigrams).alias("shingle"))

@@ -264,11 +264,21 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 bigrams. Bigrams are built by array slicing inside
-    the row (no positional self-join), then one explode + hash-agg."""
+    the row (no positional self-join), then one explode + hash-agg.
+
+    zip_with over two aligned slices of ONE split — the earlier
+    transform(sequence, j -> split(text)[j]...) form re-evaluated the
+    split PER LAMBDA ELEMENT (codegen does not CSE an expression across
+    a higher-order-function boundary), making bigram construction
+    O(words²) per document (the round-12 finding, 10× on the corpus
+    n-gram keys at sf10)."""
     d = load(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "j -> concat_ws(' ', split(text, ' ')[j - 1], split(text, ' ')[j]))"
+    t = F.split("text", " ")
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     counted = (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -297,12 +307,24 @@ def llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min md5 over 3-token shingles
     (winnowing with one global window). Pure array expressions — the
-    shingle set never materializes as rows."""
+    shingle set never materializes as rows.
+
+    Shingles come from arrays_zip over three aligned slices of ONE
+    split: the earlier transform(sequence, j -> split(text)[j]...)
+    re-evaluated the split per lambda element (no CSE across a HOF
+    boundary — O(words²)/doc, the round-12 finding), and its
+    sequence(1, size-2) DESCENDED for <3-word docs, fabricating
+    phantom shingles from NULL-skipping concat_ws where the oracle's
+    range() is empty. The greatest() clamp yields an empty shingle set
+    (NULL fingerprint) for short docs, matching the oracle exactly."""
     d = load(spark, sf_dir, "documents")
-    fp = F.expr(
-        "array_min(transform(sequence(1, size(split(text,' ')) - 2), "
-        "j -> md5(concat_ws(' ', split(text,' ')[j-1], split(text,' ')[j], "
-        "split(text,' ')[j+1]))))"
+    t = F.split("text", " ")
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    z = F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m), F.slice(t, 3, m))
+    fp = F.array_min(
+        F.transform(
+            z, lambda s: F.md5(F.concat_ws(" ", s["0"], s["1"], s["2"]))
+        )
     )
     return d.select("doc_id", fp.alias("fingerprint"))
 

@@ -131,8 +131,10 @@ def test_char_entropy_degenerate_docs(spark, tmp_path):
 
 def test_wimbd_short_docs_produce_no_trigrams(spark, tmp_path):
     """Documents with fewer than 3 words contribute nothing (the
-    sequence() guard — an unguarded sequence(1, n-2) would DESCEND for
-    n<3 and fabricate trigrams); 3-word docs contribute exactly one."""
+    greatest(n−2, 0) slice clamp — an unguarded sequence(1, n-2) would
+    DESCEND for n<3 and fabricate phantom trigrams, the bug the HOF
+    rewrite also removed from llm_fingerprint/llm_repetition_score);
+    3-word docs contribute exactly one."""
     rows = [
         (1, "one", "en", "web", 3),
         (2, "two words", "en", "web", 9),
