@@ -182,6 +182,14 @@ RISKY = [
     "llm_bpe_encode",
     "join_asof_nearest",
     "ts_downsample_lttb",
+    # round-12 additions: decimal-summed entropy behind a 6-dp keep
+    # threshold, count-tie trigram ranks, closed-form CI doubles,
+    # session windows emitted under a watermark cutoff, rank-exact
+    # tertile cutoffs (rewritten this round)
+    "llm_char_entropy_filter",
+    "llm_wimbd_topngrams",
+    "agg_ratio_ci_wilson",
+    "stream_session_window",
 ]
 
 
