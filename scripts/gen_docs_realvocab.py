@@ -74,7 +74,11 @@ def gen(base: Path, out: Path) -> None:
         "lang": rng.choice(LANGS, n_docs, p=LANG_P),
         "source": np.array([f"src{s}" for s in rng.integers(0, 20, n_docs)]),
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    }), out / "documents.parquet", row_group_size=512 * 1024)
+    # 16k-row groups: Spark can't split a parquet file below row-group
+    # granularity, and one 500k-row group serialized the dedup sweeps'
+    # corpus map stages on a single core (round-12 finding; real
+    # corpora arrive as many files)
+    }), out / "documents.parquet", row_group_size=16 * 1024)
     print(f"wrote {n_docs:,} docs with uniform 10k-word vocab -> {out}")
 
 

@@ -64,7 +64,14 @@ EVENTS_SPAN_S = 30 * 86_400  # events span ~30 days at every sf
 
 
 def _write(out: Path, name: str, table: pa.Table) -> None:
-    pq.write_table(table, out / f"{name}.parquet", row_group_size=ROW_GROUP)
+    # documents/embeddings: cap row groups so CORPUS map stages can
+    # parallelize too. 500k docs at sf10 fit under the 512k cap in ONE
+    # row group, and Spark cannot split a parquet file below row-group
+    # granularity — the round-12 dedup sweeps ran their scan→shingle→
+    # partial-agg map side on 1 of 32 cores. Real corpora arrive as
+    # many files; 16k-row groups emulate that (32 groups at sf10).
+    rg = 16 * 1024 if name in ("documents", "embeddings") else ROW_GROUP
+    pq.write_table(table, out / f"{name}.parquet", row_group_size=rg)
     print(f"  {name:10s} {table.num_rows:>9,} rows", flush=True)
 
 
