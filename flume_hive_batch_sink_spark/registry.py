@@ -36,6 +36,8 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.llm.mime",
     "flume_hive_batch_sink_spark.operators.table_audit",
     "flume_hive_batch_sink_spark.streaming.session_window",
+    "flume_hive_batch_sink_spark.operators.time_bucket",
+    "flume_hive_batch_sink_spark.operators.band_join",
 )
 
 
@@ -84,6 +86,8 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.llm import mime  # noqa: F401
     from flume_hive_batch_sink_spark.operators import table_audit  # noqa: F401
     from flume_hive_batch_sink_spark.streaming import session_window  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import time_bucket  # noqa: F401
+    from flume_hive_batch_sink_spark.operators import band_join  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would
