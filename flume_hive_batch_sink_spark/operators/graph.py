@@ -136,7 +136,8 @@ _TRI_SCALE = (_TRI_P_DEN // _TRI_P_NUM) ** 3  # 1/p^3 = 125000
       SELECT DISTINCT a.s AS u, b.s AS v
       FROM sp a JOIN sp b
         ON a.p = b.p AND a.s < b.s
-       AND ((CAST(a.s AS BIGINT) * 100000 + b.s) * 2654435761 + 7)
+       AND ((CAST(a.s AS BIGINT) * 100000 + b.s) % 2147483647
+            * 2654435761 + 7)
            % 2147483647 % {_TRI_P_DEN} < {_TRI_P_NUM}
     ),
     tri AS (
@@ -179,8 +180,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
+    # pre-mod by 2^31−1 BEFORE the Knuth multiply: at sf10 the pair key
+    # reaches 1e10 and 1e10·2654435761 ≈ 2.7e19 overflows BIGINT on
+    # both engines (ANSI Spark raises; found by the round-12 decade
+    # sweep). (key % M)·2654435761 ≤ 2.1e9·2.65e9 ≈ 5.7e18 fits, and
+    # the oracle applies the identical pre-mod so the coin flips stay
+    # hash-exact across engines at every scale.
     pair_hash = (
-        (F.col("a.s").cast("bigint") * 100000 + F.col("b.s")) * 2654435761 + 7
+        (F.col("a.s").cast("bigint") * 100000 + F.col("b.s")) % 2147483647
+        * 2654435761
+        + 7
     ) % 2147483647 % _TRI_P_DEN
     e = (
         sp.alias("a")
@@ -317,10 +326,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     would loop on the scalar convergence count (the same driver-side
     scalar this operator pulls only for the certificate)."""
     edges = _cs_edges(spark, sf_dir)
-    # Eager localCheckpoint per round: `e` feeds BOTH the degree agg and
+    # Eager checkpoint per round: `e` feeds BOTH the degree agg and
     # the semi-join, so without lineage truncation the un-materialized
     # plan doubles every round (2^R blowup — measured 467 s at sf0.01;
-    # 3.6 s with checkpoints). Same pattern as llm/clusters.py's CC loop.
+    # 3.6 s with checkpoints). RELIABLE (disk) checkpoints, not
+    # localCheckpoint: the round-12 sf10 rehearsal found that R rounds
+    # of in-memory snapshots of a 114M-edge list (~4 GB deserialized
+    # each, none releasable — PySpark has no handle on the checkpoint
+    # RDD to unpersist) thrash the heap to OOM; disk checkpoints keep
+    # the lineage cut with zero heap residency and the temp dir is
+    # reclaimed with the context.
+    import tempfile
+
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_chk_"))
     e = edges
     n_prev = n_final = -1
     for r in range(_KCORE_ROUNDS):
@@ -333,7 +353,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (
             e.join(keep, "src", "semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
-            .localCheckpoint(eager=True)
+            .checkpoint(eager=True)
         )
         if r == _KCORE_ROUNDS - 2:
             n_prev = e.select("src").distinct().count()
