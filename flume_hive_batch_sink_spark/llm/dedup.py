@@ -616,8 +616,12 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        satisfies min(|Sa|−pa, |Sb|−pb) ≥ ⌈t·|Sa|⌉ at that match.
        Candidate volume now tracks RARE-shingle · index co-occurrence
        (prefixes are the rarest shingles by construction) instead of
-       Σ df² over every capped shingle; verification intersects hashed
-       shingle arrays per surviving pair in codegen.
+       Σ df² over every capped shingle; verification intersects the
+       EXACT shingle-string arrays per surviving pair in codegen —
+       hashes are only the candidate-generation key, so a 64-bit
+       collision can at worst admit one extra candidate that exact
+       verification then rejects (it can never change the reported
+       containment value, matching the oracle bit-for-bit).
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
@@ -653,9 +657,11 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("ranked")
     plen = (n - F.ceil(F.lit(_CONTAIN_T) * n) + 1).cast("int")
     hs = F.transform("ranked", lambda s: F.xxhash64(s["shingle"]))
+    ss = F.transform("ranked", lambda s: s["shingle"])
     docs_arr = ranked.select(
         "doc_id",
         hs.alias("hs"),
+        ss.alias("ss"),
         F.slice(hs, 1, plen).alias("prefix"),
     )
     probe = docs_arr.select(
@@ -680,14 +686,14 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    pa = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    pb = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    pa = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    pb = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
     verified = (
         candidates.join(pa, "doc_a")
         .join(pb, "doc_b")
-        .withColumn("ni", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("ni", F.size(F.array_intersect("sa", "sb")))
     )
-    cont = F.col("ni").cast("double") / F.size("ha")
+    cont = F.col("ni").cast("double") / F.size("sa")
     return verified.filter(cont >= _CONTAIN_T).select(
         "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )

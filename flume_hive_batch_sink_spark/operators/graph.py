@@ -334,13 +334,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of in-memory snapshots of a 114M-edge list (~4 GB deserialized
     # each, none releasable — PySpark has no handle on the checkpoint
     # RDD to unpersist) thrash the heap to OOM; disk checkpoints keep
-    # the lineage cut with zero heap residency and the temp dir is
-    # reclaimed with the context.
+    # the lineage cut with zero heap residency. Spark only deletes
+    # checkpoint data itself when cleanCheckpoints is on, so the dir is
+    # explicitly reclaimed at interpreter exit — repeated calls reuse
+    # ONE dir (the first-set checkpoint dir wins) instead of
+    # accumulating R edge-list snapshots per call in /tmp.
+    import atexit
+    import shutil
     import tempfile
 
     sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_chk_"))
+        chk = tempfile.mkdtemp(prefix="graph_chk_")
+        atexit.register(shutil.rmtree, chk, ignore_errors=True)
+        sc.setCheckpointDir(chk)
     e = edges
     n_prev = n_final = -1
     for r in range(_KCORE_ROUNDS):

@@ -15,6 +15,20 @@ the driver-sampling rotation prefix of earlier rounds stays stable.
 subtract / pmod / multiply — no float division anywhere, so no ULP can
 move a boundary event), and the rollup is one map-side-combined hash
 aggregation keyed on (bucket, event_type).
+
+TIMEZONE SEMANTICS (fixed-offset assumption, documented): the bucket is
+derived from ABSOLUTE epoch-µs (``unix_micros``), while DuckDB's
+``time_bucket`` floors the NAIVE local wall-clock. The two agree under
+any fixed-offset session timezone (the hostile-TZ sweep runs ±14h
+offsets) because a constant offset cancels in ``(ts − origin)``; they
+can differ only for events inside a DST transition window in a
+DST-observing zone, where local wall-clock is non-monotone in the
+instant. Epoch arithmetic is the deliberate choice for a 100 TB engine
+— instants are total-ordered, buckets are exactly ``width`` long (a
+wall-clock 45-min bucket straddling spring-forward is physically 45
+or −15 min of data), and the expression stays pure codegen integer
+math. Deployments needing wall-clock bucketing should date_trunc /
+bucket on a TIMESTAMP_NTZ column instead.
 """
 
 from __future__ import annotations

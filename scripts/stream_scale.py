@@ -80,10 +80,15 @@ def _state_summary(progress: list[dict]) -> dict:
                 removed=op.get("numRowsRemoved"),
             )
             total_removed += op.get("numRowsRemoved") or 0
-            final_total = op.get("numRowsTotal") or final_total
-            mem_bytes = op.get("stateMemory") or op.get(
-                "memoryUsedBytes", mem_bytes
-            )
+            # explicit None checks: a final batch that fully DRAINED its
+            # state reports numRowsTotal=0, which is a legitimate value —
+            # `or` would silently keep the previous batch's nonzero count
+            v = op.get("numRowsTotal")
+            final_total = v if v is not None else final_total
+            m = op.get("stateMemory")
+            if m is None:
+                m = op.get("memoryUsedBytes")
+            mem_bytes = m if m is not None else mem_bytes
             cm = op.get("customMetrics") or {}
             sst = cm.get("rocksdbTotalSSTFilesBytes")
             if sst is not None:
