@@ -185,12 +185,14 @@ def pipeline_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_5'
     ),
-    tot AS (SELECT SUM(val) AS t FROM natval)
+    tot AS (SELECT SUM(val) AS t FROM natval),
+    frac AS (SELECT 0.2 / count(*) AS f FROM supplier)
     SELECT nv.l_partkey AS p_partkey,
            CAST(ROUND(SUM(nv.val), 2) AS DOUBLE) AS part_value
-    FROM natval nv, tot
-    GROUP BY nv.l_partkey, tot.t
-    HAVING CAST(SUM(nv.val) AS DOUBLE) > 0.002 * CAST(tot.t AS DOUBLE)
+    FROM natval nv, tot, frac
+    GROUP BY nv.l_partkey, tot.t, frac.f
+    HAVING CAST(SUM(nv.val) AS DOUBLE)
+         > CAST(frac.f AS DOUBLE) * CAST(tot.t AS DOUBLE)
     """,
 )
 def pipeline_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +203,16 @@ def pipeline_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan shape works when lineitem is 100 TB because the total
     never leaves the cluster. Both per-part and total sums are exact
     decimals; only the final fraction comparison drops to double,
-    identically on both engines."""
+    identically on both engines.
+
+    The HAVING fraction scales with 1/SF like the spec's 0.0001/SF
+    (TPC-H v3 §B.11): it is derived IN-PLAN from supplier cardinality
+    (exactly 10,000·SF in these fixtures) as 0.2/|supplier| — 0.002 at
+    sf0.01 (the driver's oracle scale, unchanged), 0.00002 at sf1 —
+    so the key stays non-vacuous at sf≥1 instead of returning zero
+    rows once the per-part share of a growing total dips below a fixed
+    cutoff. Both engines compute the identical double division, and
+    the 1-row fraction broadcasts like the total."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -212,11 +223,18 @@ def pipeline_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     tot = natval.agg(F.sum("val").alias("t"))
+    frac = load(spark, sf_dir, "supplier").agg(
+        (F.lit(0.2) / F.count("*")).alias("f")
+    )
     return (
         natval.crossJoin(F.broadcast(tot))
-        .groupBy("l_partkey", "t")
+        .crossJoin(F.broadcast(frac))
+        .groupBy("l_partkey", "t", "f")
         .agg(F.sum("val").alias("sv"))
-        .filter(F.col("sv").cast("double") > 0.002 * F.col("t").cast("double"))
+        .filter(
+            F.col("sv").cast("double")
+            > F.col("f").cast("double") * F.col("t").cast("double")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             _money(F.col("sv")).alias("part_value"),
