@@ -1428,11 +1428,14 @@ def _pq_search(
     enc0 = subv.join(F.broadcast(codebook), "s").withColumn(
         "sqd", F.expr(_DEC_SQDIST.format(a="vs", b="cs"))
     )
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("sqd", "cid")
+    # nearest centroid per (vec_id, s): struct-min is lexicographic on
+    # (sqd, cid) — identical to the previous row_number-over-(sqd, cid)
+    # pick, but a map-side-combinable hash aggregate instead of a full
+    # sort-window over |corpus|·m·k rows (round-13, half the sf10 cost)
     codes = (
-        enc0.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
+        enc0.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("sqd", "cid")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.cid").alias("cid"))
     )
 
     q = (
@@ -1447,12 +1450,74 @@ def _pq_search(
     lut = qsub.join(F.broadcast(codebook), "s").select(
         "qid", "s", "cid", F.expr(_DEC_DOT.format(a="qs", b="cs")).alias("d")
     )
+
+    # ADC as an array-indexed LUT sum (round-13): the former shape
+    # joined the per-subspace code rows against the broadcast LUT on
+    # (s, cid) and hash-aggregated the m-way fan-out back down — at
+    # sf10 that is |corpus|·m·|q| = 410M joined rows feeding a 51M-group
+    # aggregate, and it measured 384 s. A real ADC scan is an indexed
+    # table walk, not a join: pack each vector's m codes into ONE array
+    # row, pack each query's LUT into ONE dense array of m·k entries
+    # (indexed s·k + dense-cid), broadcast the |q| LUT rows, and score
+    # each (vector, query) pair with an m-term element_at sum in
+    # codegen — |corpus|·|q| rows total, m× fewer, no re-aggregation.
+    # Codebook cids are anchor vec_ids (arbitrary bigints), so a 16-row
+    # broadcast maps them to dense 0..k-1 slots first. The lambda only
+    # references COLUMNS (code, tbl) — no inline expression re-evaluated
+    # per element (the round-12 HOF-CSE trap).
+    kk = F.lit(_PQ_K)
+    dense = (
+        codebook.select("cid")
+        .distinct()
+        .withColumn(
+            "dcid", F.row_number().over(Window.orderBy("cid")) - 1
+        )
+    )
+    codes_arr = (
+        codes.join(F.broadcast(dense), "cid")
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "dcid"))).alias("sc"))
+        .select(
+            "vec_id",
+            F.transform("sc", lambda x: x["dcid"]).alias("code"),
+        )
+    )
+    lut_arr = (
+        lut.join(F.broadcast(dense), "cid")
+        .groupBy("qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("s") * kk + F.col("dcid")).alias("i"), "d"
+                    )
+                )
+            ).alias("t")
+        )
+        .select("qid", F.transform("t", lambda x: x["d"]).alias("tbl"))
+    )
     adc = (
-        codes.repartition(par)
-        .join(F.broadcast(lut), ["s", "cid"])
+        codes_arr.repartition(par)
+        .crossJoin(F.broadcast(lut_arr))
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d").alias("ascore"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.transform(
+                    F.col("code"),
+                    lambda c, i: F.element_at(
+                        F.col("tbl"), (i * kk + c + 1).cast("int")
+                    ),
+                ),
+                # (28,9) accumulator, cast back each step: a (38,9)
+                # accumulator would need precision 39 on add and
+                # Spark's overflow rule silently drops the scale to 8
+                # (the _DEC_DOT lesson above)
+                F.lit(0).cast("decimal(28,9)"),
+                lambda acc, x: (acc + x).cast("decimal(28,9)"),
+            ).alias("ascore"),
+        )
     )
     w_rk = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "vec_id")
     approx = (

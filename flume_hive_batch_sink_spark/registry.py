@@ -38,6 +38,8 @@ _TAIL_MODULES = (
     "flume_hive_batch_sink_spark.streaming.session_window",
     "flume_hive_batch_sink_spark.operators.time_bucket",
     "flume_hive_batch_sink_spark.operators.band_join",
+    # round 13
+    "flume_hive_batch_sink_spark.streaming.state_ttl",
 )
 
 
@@ -88,6 +90,7 @@ def load_all_operators() -> None:
     from flume_hive_batch_sink_spark.streaming import session_window  # noqa: F401
     from flume_hive_batch_sink_spark.operators import time_bucket  # noqa: F401
     from flume_hive_batch_sink_spark.operators import band_join  # noqa: F401
+    from flume_hive_batch_sink_spark.streaming import state_ttl  # noqa: F401
 
     # Fail LOUDLY if any import path registered the tail modules early
     # (a direct test import, a tool, a future llm/__init__ edit would

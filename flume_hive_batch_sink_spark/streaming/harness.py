@@ -78,6 +78,30 @@ def replay_chunks(
     )
 
 
+def replay_chunks_with_sentinels(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    sentinel_offsets_min: tuple = (),
+) -> DataFrame:
+    """``replay_chunks`` plus trailing single-event sentinel chunks that
+    push the watermark past every real key's event-time TTL — the drain
+    barrier for TTL-evicting stateful operators (state_ttl.py). Each
+    offset (minutes past the fixture's max ts) becomes one extra
+    micro-batch carrying exactly one ``user_id = -1`` event."""
+    from flume_hive_batch_sink_spark.streaming import source
+
+    return source.open_events_stream(
+        spark,
+        source.SourceConfig(
+            transport="file-chunks",
+            sf_dir=sf_dir,
+            n_chunks=n_chunks,
+            sentinel_offsets_min=tuple(sentinel_offsets_min),
+        ),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

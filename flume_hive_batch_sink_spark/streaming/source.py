@@ -63,6 +63,14 @@ class SourceConfig:
     sf_dir: str = "/root/testdata/sf0.01"
     n_chunks: int = 4
     late_chunk: bool = False
+    # minute offsets past the global max ts; each appends ONE synthetic
+    # sentinel event (user_id = -1, event_type = 'sentinel') as its own
+    # final chunk file. Sentinels exist purely to ADVANCE THE WATERMARK
+    # past every real key's event-time TTL so timed-out state provably
+    # drains before an availableNow replay ends — the event-time
+    # analogue of Flume's channel drain barrier. Consumers filter
+    # user_id < 0 out of their results.
+    sentinel_offsets_min: tuple = ()
     # kafka transport
     bootstrap_servers: str = "localhost:9092"
     topic: str = "events"
@@ -153,6 +161,33 @@ def _file_chunk_stream(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
         os.replace(os.path.join(cdir, parts[0]), path)
         os.utime(path, (now + i, now + i))
     shutil.rmtree(stage, ignore_errors=True)
+
+    if cfg.sentinel_offsets_min:
+        import datetime as _dt
+
+        # bounded scalar pull: one max(ts) — the sentinel timestamps
+        # must sit past the whole fixture whatever the SF
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for j, off in enumerate(sorted(cfg.sentinel_offsets_min)):
+            row = (
+                -(j + 1),
+                max_ts + _dt.timedelta(minutes=int(off)),
+                -1,
+                "sentinel",
+                0.0,
+                None,
+            )
+            sdir = os.path.join(base, f"sentinel_stage_{j}")
+            spark.createDataFrame([row], EVENTS_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            parts = [f for f in os.listdir(sdir) if f.startswith("part-")]
+            assert len(parts) == 1
+            k = cfg.n_chunks + j
+            path = os.path.join(src, f"chunk_{k:03d}.parquet")
+            os.replace(os.path.join(sdir, parts[0]), path)
+            os.utime(path, (now + k, now + k))
+            shutil.rmtree(sdir, ignore_errors=True)
 
     return (
         spark.readStream.schema(EVENTS_SCHEMA)

@@ -84,3 +84,60 @@ def gen(base: Path, out: Path) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def gen_scale(n_docs: int, out: Path, chunk: int = 500_000) -> None:
+    """Standalone documents-only fixture at arbitrary scale (round-13:
+    the sf100rv probe needs 5M docs and no base sf100 exists). Streams
+    CHUNKS through one ParquetWriter so peak memory is one chunk, not
+    the corpus: same 10k-word uniform vocabulary, same 16k row groups,
+    same dup-tail rates as gen() — exact/near duplicates copy from a
+    HEAD POOL (the first chunk's first 10%), which matches real corpora
+    (template families recur corpus-wide) and keeps the recipe
+    single-pass. documents.parquet only: the dedup family loads nothing
+    else."""
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(424242)
+    vocab = np.array([f"w{i:05d}" for i in range(10_000)])
+    writer = None
+    head_pool: list[str] = []
+    head_n = max(1, chunk // 10)
+    done = 0
+    while done < n_docs:
+        m = min(chunk, n_docs - done)
+        lens = rng.integers(8, 101, m)
+        words = rng.choice(vocab, int(lens.sum()))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        texts = [
+            " ".join(words[offs[i]:offs[i + 1]]) for i in range(m)
+        ]
+        if not head_pool:
+            head_pool = texts[:head_n]
+        else:
+            for i in rng.choice(m, max(1, int(0.003 * m)), replace=False):
+                texts[i] = head_pool[int(rng.integers(0, len(head_pool)))]
+            for i in rng.choice(m, max(1, int(0.015 * m)), replace=False):
+                toks = head_pool[
+                    int(rng.integers(0, len(head_pool)))
+                ].split()
+                toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+                texts[i] = " ".join(toks)
+        tbl = pa.table({
+            "doc_id": np.arange(done, done + m, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(LANGS, m, p=LANG_P),
+            "source": np.array(
+                [f"src{s}" for s in rng.integers(0, 20, m)]
+            ),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(
+                out / "documents.parquet", tbl.schema
+            )
+        writer.write_table(tbl, row_group_size=16 * 1024)
+        done += m
+        print(f"  {done:,}/{n_docs:,} docs", flush=True)
+    if writer is not None:
+        writer.close()
+    print(f"wrote {n_docs:,} docs (10k-word vocab, streamed) -> {out}")

@@ -22,6 +22,14 @@ between batches and state eviction is observable:
                  per-user counters (NoTimeout — state is bounded by
                  |users|, the documented contract; no eviction
                  expected).
+  custom_state_ttl  stream_custom_state_ttl's shape (round 13): the
+                 same counters under EventTimeTimeout with a 45-min
+                 TTL and sentinel-closed replay — eviction > 0 and
+                 final state ≪ |users| is the whole point.
+  session_window stream_session_window's shape (round 13): native
+                 session_window agg — the most state-intensive shape
+                 (windows MERGE across batches, not just accumulate);
+                 closed sessions must evict behind the watermark.
   agg_complete   stream_agg_update's shape: complete-mode groupBy
                  event_type (state bounded by key cardinality).
 
@@ -200,6 +208,26 @@ def main() -> None:
             GroupStateTimeout.NoTimeout,
         ),
         "update",
+    )
+
+    # 4b. custom state with event-time TTL (stream_custom_state_ttl
+    # shape): idle users evict; sentinels drain everything at the end
+    from flume_hive_batch_sink_spark.streaming import state_ttl
+
+    s = harness.replay_chunks_with_sentinels(
+        spark, sf_dir, n_chunks=n_chunks, sentinel_offsets_min=(120, 240)
+    )
+    run("custom_state_ttl", state_ttl.ttl_counters_stream(spark, s), "update")
+
+    # 4c. native session windows (stream_session_window shape): per-user
+    # 6h-gap sessions merge in state and close behind the watermark
+    s = harness.replay_chunks(spark, sf_dir, n_chunks=n_chunks)
+    run(
+        "session_window",
+        s.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n")),
+        "append",
     )
 
     # 5. complete-mode aggregate (stream_agg_update shape)
