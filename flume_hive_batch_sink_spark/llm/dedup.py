@@ -79,6 +79,7 @@ def minhash_bands(tok_arr: DataFrame) -> DataFrame:
 
     sig = tok_arr.select(
         "doc_id",
+        F.size("toks").alias("n"),
         *[_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)],
     )
     key_arr = F.array(
@@ -90,8 +91,11 @@ def minhash_bands(tok_arr: DataFrame) -> DataFrame:
             for b in range(_BANDS)
         ]
     )
+    # `n` (distinct-token count, one int riding the map-side explode) is
+    # what the size prefilter joins on inside band_candidates — it must
+    # exist BEFORE pair generation (round-13 sf100rv finding)
     return sig.select(
-        "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
+        "doc_id", "n", F.posexplode(key_arr).alias("band_idx", "band_key")
     )
 
 
@@ -99,6 +103,7 @@ def band_candidates(
     bands: DataFrame,
     width_cap: int = _BUCKET_CAP,
     salts: int = _BUCKET_SALTS,
+    pair_pred=None,
 ) -> DataFrame:
     """Distinct candidate (doc_a, doc_b) pairs from band-bucket
     collisions, with a hot-bucket skew guard.
@@ -119,6 +124,16 @@ def band_candidates(
     width), so no pair can straddle tiers and exactness needs no
     cross-tier join. Both the salt and the tier split are deterministic
     — required by oracle hash-match and resume semantics.
+
+    ``pair_pred`` (round-13): an optional extra join predicate built
+    from the two sides' aliases ``a``/``b`` — a callable returning a
+    Column. The sf100rv probe showed that at degenerate band-key
+    entropy the PAIR MULTISET itself is the disk bound (every slim
+    (doc_a, doc_b) exchange is retained for the job's lifetime), so
+    exactness-preserving pruning must happen IN the join condition,
+    before a pair row ever exists — not as a post-hoc filter over a
+    materialized candidate set. Any extra column the predicate needs
+    must already ride ``bands``.
     """
     w = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
     bw = bands.withColumn("w", w)
@@ -129,6 +144,8 @@ def band_candidates(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+        if pair_pred is not None:
+            cond = cond & pair_pred()
         for e in extra:
             cond = cond & e
         return (
@@ -225,9 +242,31 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation, so per-collision duplicates collapse before the
     # shuffle where the data is dense (~83M matches → ~12M pairs at
     # sf0.1).
-    candidates = band_candidates(bands)
+    #
+    # SIZE PREFILTER inside the pair join (round-13: the sf100rv probe
+    # twice filled the disk here — first each candidate row carried a
+    # full token array through two exchanges, then the slim pair
+    # multiset's own retained exchanges overflowed at 4e8 candidates).
+    # The AllPairs size lemma is exactness-preserving: J ≥ t and
+    # ni ≤ min(na, nb) force t ≤ na/nb ≤ 1/t, so an over-ratio pair can
+    # never reach the threshold — the predicate rides the join
+    # condition, so such a pair never exists as a row anywhere. The
+    # ratio compares in INTEGER arithmetic (na·q ≥ nb·p for t = p/q) —
+    # a double 0.8·nb misdrops the exact-boundary pair (na, nb) =
+    # (4k, 5k).
+    from fractions import Fraction
 
-    # exact verify on candidate pairs only: attach both token arrays
+    t_frac = Fraction(_JACCARD_T).limit_denominator(1000)
+    p, q = t_frac.numerator, t_frac.denominator
+
+    def size_pred() -> F.Column:
+        return (F.col("a.n") * q >= F.col("b.n") * p) & (
+            F.col("b.n") * q >= F.col("a.n") * p
+        )
+
+    candidates = band_candidates(bands, pair_pred=size_pred)
+
+    # exact verify on the surviving pairs only: attach both token arrays
     # (joins on doc_id — broadcast at test scale, co-partitioned shuffle
     # joins at 100 TB) and intersect in codegen. Replaces the exploded
     # token⋈token join whose output was |pairs|·|overlap| rows. Tokens

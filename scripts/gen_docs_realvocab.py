@@ -86,7 +86,12 @@ if __name__ == "__main__":
     main()
 
 
-def gen_scale(n_docs: int, out: Path, chunk: int = 500_000) -> None:
+def gen_scale(
+    n_docs: int,
+    out: Path,
+    chunk: int = 500_000,
+    vocab_size: int = 100_000,
+) -> None:
     """Standalone documents-only fixture at arbitrary scale (round-13:
     the sf100rv probe needs 5M docs and no base sf100 exists). Streams
     CHUNKS through one ParquetWriter so peak memory is one chunk, not
@@ -95,10 +100,22 @@ def gen_scale(n_docs: int, out: Path, chunk: int = 500_000) -> None:
     HEAD POOL (the first chunk's first 10%), which matches real corpora
     (template families recur corpus-wide) and keeps the recipe
     single-pass. documents.parquet only: the dedup family loads nothing
-    else."""
+    else.
+
+    ``vocab_size`` defaults to 100k, NOT gen()'s 10k: the first sf100rv
+    probe (round 13, SCALE.md) showed that a vocabulary FIXED while the
+    corpus grows exhausts LSH band-key entropy — any token ranked low
+    in both of a band's hash permutations buckets every doc containing
+    it (~21k-doc buckets at 5M docs/10k vocab), and Σw² candidates
+    filled the disk. Real corpora grow vocabulary with size (Heaps'
+    law, V ∝ n^~0.5: 5M docs ⇒ ≥100k types even conservatively); gen()
+    keeps 10k only because its scales carry a DuckDB all-pairs oracle
+    whose token self-join needs short per-token doc lists. No oracle
+    runs at probe scale, so the probe fixture uses the realistic
+    entropy."""
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(424242)
-    vocab = np.array([f"w{i:05d}" for i in range(10_000)])
+    vocab = np.array([f"w{i:06d}" for i in range(vocab_size)])
     writer = None
     head_pool: list[str] = []
     head_n = max(1, chunk // 10)
@@ -140,4 +157,7 @@ def gen_scale(n_docs: int, out: Path, chunk: int = 500_000) -> None:
         print(f"  {done:,}/{n_docs:,} docs", flush=True)
     if writer is not None:
         writer.close()
-    print(f"wrote {n_docs:,} docs (10k-word vocab, streamed) -> {out}")
+    print(
+        f"wrote {n_docs:,} docs ({vocab_size:,}-word vocab, streamed)"
+        f" -> {out}"
+    )
