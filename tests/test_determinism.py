@@ -190,6 +190,9 @@ RISKY = [
     "llm_wimbd_topngrams",
     "agg_ratio_ci_wilson",
     "stream_session_window",
+    # round-13 addition: TTL eviction emissions — the per-user SUM must
+    # be batching- and timing-invariant across two full replays
+    "stream_custom_state_ttl",
 ]
 
 
