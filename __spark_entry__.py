@@ -41,32 +41,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_rotation(keys: list[str]) -> list[str]:
-    """Order keys so the ones NEVER checked by a prior driver round come
-    first. The driver samples the FIRST 50 queries() entries each round
-    (CORRECTNESS_r07/r08 sampled the identical insertion-order prefix),
-    so with a static order 218 of 300 keys would never be
-    driver-attested. Reading the committed CORRECTNESS_r*.json files
-    makes the rotation self-updating: each round's artifact adds its 50
-    keys to the seen-set, so the next round's prefix is automatically
-    the next never-checked block — full registry coverage in ~5 rounds
-    with zero driver-side changes. Within each group the registry's
-    insertion order (SURVEY §2 family order) is preserved. Defensive:
+    """Order keys stalest-attestation-first. The driver samples the
+    FIRST 50 queries() entries each round, so the ordering here decides
+    what gets (re-)attested. Rounds 7–13 ordered never-checked-first,
+    which completed one full rotation (all 325 keys attested at least
+    once by r13); from round 14 the same committed CORRECTNESS_r*.json
+    artifacts yield each key's LATEST attested round, and keys are
+    ordered by that round ascending (never-checked still first, as
+    round 0) — so every driver round automatically re-attests the 50
+    keys whose last green check is oldest, the ones most likely to have
+    drifted from the code since (VERDICT r13 item 3: six keys' latest
+    attestation predates changes to their implementation). Ties keep
+    the registry's insertion order (SURVEY §2 family order). Defensive:
     any surprise (missing dir, malformed json) falls back to the plain
     registry order."""
     try:
         import json
         import pathlib
+        import re
 
         here = pathlib.Path(__file__).resolve().parent
-        seen: set[str] = set()
+        last_round: dict[str, int] = {}
         for f in sorted(here.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)", f.name)
+            rnd = int(m.group(1)) if m else 0
             try:
                 doc = json.loads(f.read_text())
             except (OSError, ValueError):
                 continue
             if isinstance(doc, dict):
-                seen.update(k for k in doc if isinstance(k, str))
-        return [k for k in keys if k not in seen] + [k for k in keys if k in seen]
+                for k in doc:
+                    if isinstance(k, str):
+                        last_round[k] = max(last_round.get(k, 0), rnd)
+        order = {k: i for i, k in enumerate(keys)}
+        return sorted(keys, key=lambda k: (last_round.get(k, 0), order[k]))
     except Exception:
         return keys
 

@@ -39,6 +39,36 @@ _BUCKET_CAP = 64
 _BUCKET_SALTS = 16
 
 
+def _floor_fraction(t: float, max_den: int = 1000) -> tuple[int, int]:
+    """Largest fraction p/q (q ≤ ``max_den``) that is ≤ the DOUBLE ``t``
+    — the direction an integer size-prefilter needs to stay conservative
+    w.r.t. a final ``jaccard >= t`` double comparison.
+
+    ``Fraction(t).limit_denominator`` returns the CLOSEST bounded
+    fraction, which may round UP: t = 1/3 stored as the double
+    0.333…331 rounds to the fraction 1/3, which is strictly greater
+    than the double, so a prefilter built from it would drop exact
+    boundary pairs that the verify step accepts. For t = 0.8 the
+    closest fraction 4/5 happens to sit below the double, so the round-
+    13 code was safe only by luck of the constant (round-14 ADVICE).
+    Falling back to floor(t·max_den)/max_den is always ≤ t and within
+    1/max_den of it — selectivity loss is negligible, exactness is
+    structural. The assert makes a regression here loud, not lossy.
+    """
+    from fractions import Fraction
+    from math import floor
+
+    exact = Fraction(t)  # exact binary expansion of the double
+    frac = Fraction(t).limit_denominator(max_den)
+    if frac > exact:
+        # floor in EXACT rational arithmetic: floor(t * max_den) in
+        # float can round back UP to the boundary (0.6 * 1000 rounds to
+        # exactly 600.0 although double(0.6) < 3/5)
+        frac = Fraction(floor(exact * max_den), max_den)
+    assert frac <= exact, "size prefilter must lower-bound the threshold"
+    return frac.numerator, frac.denominator
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     """Distinct token set per document (the dedup unit of comparison)."""
     return docs.select(
@@ -253,11 +283,10 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # condition, so such a pair never exists as a row anywhere. The
     # ratio compares in INTEGER arithmetic (na·q ≥ nb·p for t = p/q) —
     # a double 0.8·nb misdrops the exact-boundary pair (na, nb) =
-    # (4k, 5k).
-    from fractions import Fraction
-
-    t_frac = Fraction(_JACCARD_T).limit_denominator(1000)
-    p, q = t_frac.numerator, t_frac.denominator
+    # (4k, 5k). p/q comes from _floor_fraction, which guarantees
+    # p/q ≤ the double threshold the final verify compares against —
+    # the direction that keeps the prefilter conservative.
+    p, q = _floor_fraction(_JACCARD_T)
 
     def size_pred() -> F.Column:
         return (F.col("a.n") * q >= F.col("b.n") * p) & (

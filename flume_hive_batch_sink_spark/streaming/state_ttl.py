@@ -82,10 +82,16 @@ def _make_update(ttl_ms: int):
                 if len(pdf):
                     last_ms = max(last_ms, int(pdf["ts_ms"].max()))
             state.update((n, last_ms))
-            # strictly > current watermark: chunks are ts-ordered, so
-            # every row in this batch is newer than the watermark and
-            # last_ms + ttl is newer still
-            state.setTimeoutTimestamp(last_ms + ttl_ms)
+            # Spark requires the timeout to sit strictly ABOVE the
+            # current watermark. ts-ordered chunks guarantee that for
+            # last_ms + ttl on the happy path, but this dataflow is
+            # documented over ANY canonical events stream and a
+            # late_chunk replay can deliver a batch wholly BEHIND the
+            # watermark (round-14 ADVICE) — clamp so a late batch
+            # extends nothing but also throws nothing (its rows still
+            # count; the session just expires at the watermark edge).
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
             # emit nothing — sessions surface only through eviction
 
     return update

@@ -70,30 +70,33 @@ def test_no_oracle_is_vacuous_at_gate_scale():
     )
 
 
-def test_driver_sample_rotation_unseen_first():
-    """queries()/oracle_sql() must list keys never present in a
-    committed CORRECTNESS_r*.json before keys already driver-checked
-    (the self-rotating coverage contract), keep the two dicts aligned,
-    and lose no keys relative to the registry."""
+def test_driver_sample_rotation_stalest_first():
+    """queries()/oracle_sql() must order keys by the round of their
+    LATEST committed driver attestation ascending (never-checked = 0
+    first; round-14 contract — each driver round re-attests the 50
+    stalest keys), keep the two dicts aligned, and lose no keys
+    relative to the registry."""
     import json
     import pathlib
+    import re
 
     import __spark_entry__ as e
 
     qs = list(e.queries())
     assert set(qs) == set(registry.QUERIES)
     assert list(e.oracle_sql()) == [k for k in qs if k in registry.ORACLES]
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     repo = pathlib.Path(e.__file__).resolve().parent
     for f in repo.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"_r(\d+)", f.name).group(1))
         doc = json.loads(f.read_text())
         if isinstance(doc, dict):
-            seen.update(doc)
-    if seen:
-        first_seen_idx = min(i for i, k in enumerate(qs) if k in seen)
-        assert all(k in seen for k in qs[first_seen_idx:]), (
-            "a never-driver-checked key sorts after a driver-checked one"
-        )
+            for k in doc:
+                last[k] = max(last.get(k, 0), rnd)
+    rounds = [last.get(k, 0) for k in qs]
+    assert rounds == sorted(rounds), (
+        "a fresher-attested key sorts before a staler one"
+    )
 
 
 def test_skew_audit_empty_input_matches_oracle(spark, tmp_path):
