@@ -69,6 +69,137 @@ def _floor_fraction(t: float, max_den: int = 1000) -> tuple[int, int]:
     return frac.numerator, frac.denominator
 
 
+# Self-triggering candidate-volume guard (round-14, VERDICT r13 #1).
+# The round-13 sf100rv probe showed that when band-key entropy is
+# exhausted (fixed small vocabulary, growing corpus) bucket widths grow
+# ∝ n and Σ w(w−1)/2 candidates grow ∝ n² — the salt guard bounds
+# per-REDUCER work but not candidate OUTPUT volume, and ~6e9 pair rows
+# filled the disk before any reducer was hot. The guard measures the
+# would-be candidate volume from the band-key width profile (one cheap
+# hash-agg over the bands relation — the same df-profile trick as
+# llm_containment_dedup's df-cap) and, when it exceeds the budget,
+# DROPS the hottest buckets (widest first) until the remainder fits,
+# recording a recall lower bound. Dropping whole buckets is the
+# LSH-correct degradation: a pair in a dropped bucket still meets in
+# any other band where it collides, so recall at threshold t falls from
+# 1−(1−t^r)^B to at worst 1−(1−t^r)^(B−D), D = #bands with any drop —
+# and the hottest buckets are precisely where the band key has stopped
+# discriminating (low-entropy keys ≈ stopword-like signatures), so the
+# dropped mass is overwhelmingly false candidates.
+# Budget default: 2e8 pairs — exact-verify scratch ~100-120 GB (the r13
+# probe measured ~50-60 GB at 1e8 candidates), the top of one
+# executor-node NVMe class; override via SPARK_GRAFT_LSH_CANDIDATE_BUDGET
+# (0 disables the guard entirely).
+_CANDIDATE_BUDGET_DEFAULT = 200_000_000
+# bounded driver-side profile: only the top-K widest buckets are ever
+# collected (the guard targets the degenerate head, not the long tail)
+_GUARD_TOPK = 20_000
+
+# Guard decision of the most recent llm_near_dedup_minhash build —
+# probe scripts and SCALE.md read this; empty dict = guard not run.
+LAST_MINHASH_GUARD: dict = {}
+
+
+def _apply_candidate_budget(
+    bands: DataFrame,
+    budget: int,
+    guard_info: dict | None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Measure Σ w(w−1)/2 over band buckets; if over ``budget``, drop
+    the widest buckets (deterministic order: width desc, then band_idx,
+    band_key) until the remaining volume fits, via a broadcast
+    anti-join on the 8-byte bucket keys. Returns the (possibly
+    filtered) bands relation; fills ``guard_info`` with the decision.
+
+    Density exemption: when ``n_docs`` is given and the candidate
+    multiset is a constant fraction of ALL pairs (total ≥ ¼·n(n−1)/2),
+    the corpus is globally self-similar — the sf1 driver fixture's
+    31-word vocabulary is the canonical case (its TRUE Jaccard≥0.8
+    graph is quadratic by construction, 7.85e9 band-pair slots at 50k
+    docs) — and dropping buckets would corrupt an answer that is
+    legitimately quadratic. The guard then stands down with
+    ``dense_corpus: true`` recorded: capacity on such a corpus is a
+    cluster-sizing question, not a recall trade. Entropy exhaustion at
+    scale is the opposite shape (the r13 5M-doc/10k-vocab probe: 6e9
+    candidates ≈ 5e-4 of all pairs), which is exactly when dropping
+    the widest — least discriminating — buckets is the right trade.
+
+    Cost when the corpus is healthy: one extra linear pass over the
+    bands relation (map-side signatures + a partial-agg'd count) and a
+    1-row collect — no change to the candidate plan. Cost when
+    triggered: + one ≤ _GUARD_TOPK-row collect and a broadcast
+    anti-join. Raises if even dropping the top-K widest buckets cannot
+    meet the budget — at that point the banding operating point itself
+    is wrong for the corpus and `llm_lsh_band_sweep` is the
+    recalibration tool."""
+    prof = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") > 1)
+    )
+    pairs_of_w = (F.col("w") * (F.col("w") - F.lit(1)) / F.lit(2)).cast("long")
+    total = prof.agg(F.sum(pairs_of_w).alias("p")).collect()[0]["p"] or 0
+    info: dict = {
+        "budget": int(budget),
+        "total_pairs": int(total),
+        "triggered": False,
+        "dropped_buckets": 0,
+        "dropped_pairs": 0,
+        "bands_affected": 0,
+        "kept_pairs": int(total),
+    }
+    if (
+        total > budget
+        and n_docs is not None
+        and total * 4 >= n_docs * (n_docs - 1) // 2
+    ):
+        info["dense_corpus"] = True
+        if guard_info is not None:
+            guard_info.update(info)
+        return bands
+    if total > budget:
+        top = (
+            prof.orderBy(F.col("w").desc(), "band_idx", "band_key")
+            .limit(_GUARD_TOPK)
+            .collect()
+        )
+        remaining = int(total)
+        drops: list[tuple[int, int, int]] = []
+        for r in top:
+            if remaining <= budget:
+                break
+            remaining -= r["w"] * (r["w"] - 1) // 2
+            drops.append((int(r["band_idx"]), int(r["band_key"]), int(r["w"])))
+        if remaining > budget:
+            raise RuntimeError(
+                f"LSH candidate volume {total:,} exceeds budget {budget:,} "
+                f"even after dropping the {len(drops):,} widest band "
+                "buckets — the banding operating point does not fit this "
+                "corpus's band-key entropy; recalibrate rows/band with "
+                "llm_lsh_band_sweep or raise "
+                "SPARK_GRAFT_LSH_CANDIDATE_BUDGET."
+            )
+        info.update(
+            triggered=True,
+            dropped_buckets=len(drops),
+            dropped_pairs=int(total) - remaining,
+            kept_pairs=remaining,
+            bands_affected=len({d[0] for d in drops}),
+            max_dropped_width=max(d[2] for d in drops),
+            min_dropped_width=min(d[2] for d in drops),
+        )
+        drop_df = bands.sparkSession.createDataFrame(
+            [(a, k) for a, k, _ in drops], "band_idx INT, band_key BIGINT"
+        )
+        bands = bands.join(
+            F.broadcast(drop_df), ["band_idx", "band_key"], "left_anti"
+        )
+    if guard_info is not None:
+        guard_info.update(info)
+    return bands
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     """Distinct token set per document (the dedup unit of comparison)."""
     return docs.select(
@@ -134,6 +265,9 @@ def band_candidates(
     width_cap: int = _BUCKET_CAP,
     salts: int = _BUCKET_SALTS,
     pair_pred=None,
+    candidate_budget: int | None = None,
+    guard_info: dict | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Distinct candidate (doc_a, doc_b) pairs from band-bucket
     collisions, with a hot-bucket skew guard.
@@ -164,7 +298,19 @@ def band_candidates(
     before a pair row ever exists — not as a post-hoc filter over a
     materialized candidate set. Any extra column the predicate needs
     must already ride ``bands``.
+
+    ``candidate_budget`` (round-14): when set, the SELF-TRIGGERING
+    volume guard (_apply_candidate_budget) profiles bucket widths first
+    and drops the widest buckets until Σ w(w−1)/2 fits the budget —
+    the defense against band-key entropy exhaustion, where the salt
+    guard bounds per-reducer work but the pair multiset itself
+    overflows scratch. ``guard_info`` (a dict, filled in place)
+    receives the decision for probes/SCALE.md.
     """
+    if candidate_budget is not None:
+        bands = _apply_candidate_budget(
+            bands, candidate_budget, guard_info, n_docs=n_docs
+        )
     w = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
     bw = bands.withColumn("w", w)
 
@@ -293,7 +439,35 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n") * q >= F.col("a.n") * p
         )
 
-    candidates = band_candidates(bands, pair_pred=size_pred)
+    # Self-triggering volume guard (round-14): profile bucket widths,
+    # drop the widest buckets if Σ pairs would exceed the budget (see
+    # _apply_candidate_budget — this is the in-operator promotion of
+    # round-13's standalone probe_minhash_diag.py). On healthy corpora
+    # (every committed fixture through sf100rv) the guard never
+    # triggers and the candidate set — hence the oracle result — is
+    # bit-identical; when it triggers, the decision and the recall
+    # lower bound are recorded in LAST_MINHASH_GUARD.
+    import os
+
+    budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_LSH_CANDIDATE_BUDGET", str(_CANDIDATE_BUDGET_DEFAULT)
+        )
+    )
+    LAST_MINHASH_GUARD.clear()
+    candidates = band_candidates(
+        bands,
+        pair_pred=size_pred,
+        candidate_budget=budget if budget > 0 else None,
+        guard_info=LAST_MINHASH_GUARD,
+        # parquet metadata count — feeds the guard's density exemption
+        n_docs=docs.count() if budget > 0 else None,
+    )
+    if LAST_MINHASH_GUARD.get("triggered"):
+        d = LAST_MINHASH_GUARD["bands_affected"]
+        LAST_MINHASH_GUARD["recall_lower_bound_at_t"] = round(
+            1.0 - (1.0 - _JACCARD_T**_ROWS) ** (_BANDS - d), 8
+        )
 
     # exact verify on the surviving pairs only: attach both token arrays
     # (joins on doc_id — broadcast at test scale, co-partitioned shuffle

@@ -38,7 +38,20 @@ unique per attempt, two committers that both staged v=N resolve to one
 winner and one ConcurrentCommitError — with the loser's data untouched
 in its own staging dir and the winner's files enumerated from a
 directory only it ever wrote — never a silent lost update and never a
-torn winner (the round-7 review's shared-staging race). Cross-HOST
+torn winner (the round-7 review's shared-staging race).
+
+Linearizability claim (single filesystem): commits are linearizable
+with the linearization point at the manifest ``os.replace``. Publishing
+v=N requires the committed version to still be N−1 under the exclusive
+flock, so the committed history is a single total order of versions
+with no gaps and no forks; a reader's snapshot is always the state of
+exactly one committed prefix (it resolves the manifest once, then only
+manifest-named files), and a writer that loses the CAS observes the
+winner's commit on re-read — the optimistic-retry loop therefore
+implements serializable read-modify-write over table versions. Tested
+by genuinely interleaved writer threads with a concurrent reader
+(tests/test_table_commit.py::test_concurrent_merge_writers_retry_until_both_land
+and ::test_truly_concurrent_publishes_serialize). Cross-HOST
 coordination is out of scope by design: that is the catalog's CAS
 (Iceberg metastore/REST, Delta LogStore) — this module is the
 single-filesystem kernel those protocols wrap.

@@ -386,6 +386,150 @@ def test_band_candidates_hot_bucket_guard(spark):
     )
 
 
+def test_candidate_budget_guard(spark, monkeypatch):
+    """The round-14 self-triggering volume guard: Σ w(w−1)/2 over band
+    buckets is measured before pair generation; over-budget corpora
+    drop their widest buckets (a recorded recall trade), healthy
+    corpora are untouched bit-for-bit, and an infeasible budget fails
+    loudly with the recalibration pointer."""
+    import pytest
+
+    from flume_hive_batch_sink_spark.llm import dedup as D
+
+    m, extra = 60, 20
+    rows = [(i, "tpl one two three four five six seven") for i in range(m)]
+    rows += [
+        (m + i, f"unique doc {i} alpha{i} beta{i} gamma{i}")
+        for i in range(extra)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bands = D.minhash_bands(D.token_arrays(docs))
+    unguarded = set(map(tuple, D.band_candidates(bands).collect()))
+
+    # (a) healthy corpus under a big budget: untriggered, bit-identical
+    info: dict = {}
+    got = set(
+        map(
+            tuple,
+            D.band_candidates(
+                bands, candidate_budget=10**9, guard_info=info
+            ).collect(),
+        )
+    )
+    assert got == unguarded
+    assert info["triggered"] is False
+    # the template family is hot in every band: 16 buckets × C(60,2)
+    assert info["total_pairs"] >= D._BANDS * m * (m - 1) // 2
+
+    # (b) over-budget: triggered, kept volume fits, output is a subset,
+    # and the template family still pairs up via surviving bands
+    info2: dict = {}
+    budget = 4 * m * (m - 1) // 2  # room for ~4 of the 16 hot buckets
+    got2 = set(
+        map(
+            tuple,
+            D.band_candidates(
+                bands, candidate_budget=budget, guard_info=info2
+            ).collect(),
+        )
+    )
+    assert info2["triggered"] is True
+    assert info2["kept_pairs"] <= budget
+    assert info2["dropped_buckets"] >= 1
+    assert 1 <= info2["bands_affected"] <= D._BANDS
+    assert got2 <= unguarded
+    assert any(a < m and b < m for a, b in got2), (
+        "template pairs must survive via non-dropped bands"
+    )
+
+    # (c) density exemption: same over-budget corpus, but n_docs says
+    # the candidate multiset is a constant fraction of ALL pairs (the
+    # sf1-driver-fixture shape, where the true answer is quadratic by
+    # construction) — the guard must stand down bit-identically
+    info3: dict = {}
+    got3 = set(
+        map(
+            tuple,
+            D.band_candidates(
+                bands,
+                candidate_budget=budget,
+                guard_info=info3,
+                n_docs=m + extra,
+            ).collect(),
+        )
+    )
+    assert info3["triggered"] is False and info3.get("dense_corpus") is True
+    assert got3 == unguarded
+
+    # (d) infeasible: the top-K collect cap can't reach the budget →
+    # loud error naming the recalibration tool, raised at build time
+    monkeypatch.setattr(D, "_GUARD_TOPK", 1)
+    with pytest.raises(RuntimeError, match="llm_lsh_band_sweep"):
+        D.band_candidates(bands, candidate_budget=1)
+
+
+def test_minhash_guard_end_to_end(spark, monkeypatch, tmp_path):
+    """llm_near_dedup_minhash's self-triggering guard, end to end.
+    On the committed fixture the default budget must not trigger (the
+    oracle-parity invariant — sf0.01 is dense AND far under budget).
+    On a sparse template-family corpus with a tiny budget env the
+    guard triggers, records decision + recall bound in
+    LAST_MINHASH_GUARD, and the exact-verified output is a SUBSET of
+    the unguarded result — degraded recall, never a wrong pair."""
+    import random
+
+    from flume_hive_batch_sink_spark.llm import dedup as D
+
+    D.llm_near_dedup_minhash(spark, SF_DIR).count()
+    assert D.LAST_MINHASH_GUARD["triggered"] is False, (
+        "default budget must not trigger on the committed fixture"
+    )
+
+    # sparse low-entropy corpus: 40 exact-template families of 30 docs
+    # (hot in every band; the true pairs) floating in 4000 unique-text
+    # fillers — total band-pair volume ≈ 16·40·C(30,2) ≈ 2.8e5, a
+    # vanishing fraction of n²/2 ≈ 1.3e7, so the density exemption does
+    # NOT apply and a small budget must engage the drop tier.
+    rng = random.Random(14)
+    vocab = [f"w{i:04d}" for i in range(10_000)]
+    rows = []
+    doc_id = 0
+    fam_ids: list[list[int]] = []
+    for _ in range(40):
+        text = " ".join(rng.sample(vocab, 25))
+        ids = []
+        for _ in range(30):
+            rows.append((doc_id, text))
+            ids.append(doc_id)
+            doc_id += 1
+        fam_ids.append(ids)
+    for _ in range(4000):
+        rows.append((doc_id, " ".join(rng.sample(vocab, 25))))
+        doc_id += 1
+    sf_dir = str(tmp_path / "lowent")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    full_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.llm_near_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert D.LAST_MINHASH_GUARD["triggered"] is False
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_CANDIDATE_BUDGET", "50000")
+    small_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.llm_near_dedup_minhash(spark, sf_dir).collect()
+    }
+    g = dict(D.LAST_MINHASH_GUARD)
+    assert g["triggered"] is True and not g.get("dense_corpus")
+    assert g["kept_pairs"] <= 50_000
+    assert g["dropped_buckets"] >= 1
+    assert 0.0 <= g["recall_lower_bound_at_t"] <= 1.0
+    assert small_pairs <= full_pairs
+
+
 def test_minhash_family_is_literal_seeded(spark):
     """Pin the signature hash families to their documented literal-seed
     definitions. Guards the PySpark transform() arity trap: a lambda

