@@ -188,6 +188,12 @@ def _apply_candidate_budget(
             bands_affected=len({d[0] for d in drops}),
             max_dropped_width=max(d[2] for d in drops),
             min_dropped_width=min(d[2] for d in drops),
+            # fraction of candidate SLOTS dropped — note a true pair is
+            # lost only if EVERY band where it collides was dropped, so
+            # when bands_affected == B the worst-case recall bound goes
+            # vacuous while measured recall stays high (SCALE.md
+            # round-14 lowent10k probe: the evidence to cite)
+            dropped_slot_fraction=round((int(total) - remaining) / total, 4),
         )
         drop_df = bands.sparkSession.createDataFrame(
             [(a, k) for a, k, _ in drops], "band_idx INT, band_key BIGINT"
@@ -1582,15 +1588,20 @@ def _lsh_pr_oracle(pair_sql: str = "TRUE") -> str:
 _LSH_PR_ORACLE = _lsh_pr_oracle()
 
 
-def _lsh_band_pr_frame(docs: DataFrame, pair_sampled: bool = False) -> DataFrame:
-    """The banding-P/R dataflow shared by the full-corpus certificate
-    and its content-addressed-sampled scale sibling: md5 signatures →
-    8×2 banding → candidate pairs by band key, exact all-pairs Jaccard
-    truth over ``docs``, and the precision/recall summary. The truth
-    side is quadratic in len(docs) BY PURPOSE — the caller bounds it."""
-    toks = docs.select(
+def _pr_tokens(docs: DataFrame) -> DataFrame:
+    """Distinct token ARRAY per doc — shared by the md5 certificate
+    family (P/R, bucket profile)."""
+    return docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
     )
+
+
+def _pr_band_rows(toks: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows for the md5-string certificate
+    banding (_PR_BANDS × _PR_ROWS over _PR_K md5 minima) — the
+    DuckDB-replayable twin of minhash_bands (md5 hex digests order
+    identically everywhere, so every bucket is bit-exact across
+    engines). Pure map-side, same as the production family."""
 
     def sig(k: int) -> F.Column:
         pre = F.lit(f"{k}:")
@@ -1599,7 +1610,7 @@ def _lsh_band_pr_frame(docs: DataFrame, pair_sampled: bool = False) -> DataFrame
         )
 
     sigs = toks.select(
-        "doc_id", "t", *[sig(k).alias(f"s{k}") for k in range(_PR_K)]
+        "doc_id", *[sig(k).alias(f"s{k}") for k in range(_PR_K)]
     )
     band_arr = F.array(
         *[
@@ -1609,9 +1620,19 @@ def _lsh_band_pr_frame(docs: DataFrame, pair_sampled: bool = False) -> DataFrame
             for b in range(_PR_BANDS)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key")
     )
+
+
+def _lsh_band_pr_frame(docs: DataFrame, pair_sampled: bool = False) -> DataFrame:
+    """The banding-P/R dataflow shared by the full-corpus certificate
+    and its content-addressed-sampled scale sibling: md5 signatures →
+    8×2 banding → candidate pairs by band key, exact all-pairs Jaccard
+    truth over ``docs``, and the precision/recall summary. The truth
+    side is quadratic in len(docs) BY PURPOSE — the caller bounds it."""
+    toks = _pr_tokens(docs)
+    bands = _pr_band_rows(toks)
     a, b = bands.alias("a"), bands.alias("b")
     cand_cond = (
         (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1743,6 +1764,67 @@ def llm_lsh_band_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         < _EST_SAMPLE_LT
     )
     return _lsh_band_pr_frame(docs, pair_sampled=True)
+
+
+_BUCKET_PROFILE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"{_pr_sig_sql(k)} AS s{k}" for k in range(_PR_K))}
+      FROM toks
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(s{2 * b} || '|' || s{2 * b + 1}) AS band_key FROM sig"
+        for b in range(_PR_BANDS)
+      )}
+    ),
+    prof AS (
+      SELECT band_idx, band_key, count(*) AS w
+      FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+    )
+    SELECT band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(w) AS BIGINT) AS max_width,
+           CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_pairs
+    FROM prof GROUP BY band_idx
+"""
+
+
+@query("llm_lsh_bucket_profile", oracle=_BUCKET_PROFILE_ORACLE)
+def llm_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket width profile — the measurement primitive of the
+    round-14 self-triggering candidate-volume guard
+    (_apply_candidate_budget), exposed as its own oracle-attested key:
+    per band, the number of colliding buckets (w > 1), the widest
+    bucket, and the exact candidate volume Σ w(w−1)/2 that the band
+    would contribute to the LSH pair join. Runs over the md5-string
+    certificate family (_pr_band_rows) so DuckDB replays every bucket
+    bit-exactly; the production guard runs the identical profile over
+    the xxhash64 family.
+
+    100 TB shape: one map-side banding pass + a two-level hash-agg on
+    8-byte-ish keys — the same cost class as a groupBy count; this is
+    why the guard can afford to run unconditionally before every
+    pair-generation stage."""
+    toks = _pr_tokens(load(spark, sf_dir, "documents"))
+    prof = (
+        _pr_band_rows(toks)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") > 1)
+    )
+    return prof.groupBy("band_idx").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("w").cast("long").alias("max_width"),
+        F.sum((F.col("w") * (F.col("w") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_pairs"),
+    )
 
 
 # Banding operating-point sweep: every (bands, rows) factorization of
