@@ -755,6 +755,110 @@ def _centroid_probes(vec_df: DataFrame, cent_mat, nprobe: int) -> DataFrame:
     )
 
 
+# Multiprobe search blocking (round-14). The r14 emb500k probe killed
+# llm_semdedup_kmeans with ENOSPC: the probe-exploded query side
+# shipped nprobe·n rows EACH carrying the 64-double vector (~150 GB of
+# incompressible shuffle at 500k vectors, nprobe=0.8k) — the ANN
+# sibling of the r13 minhash lesson (pair-stage I/O ∝ candidates ×
+# array size). The fix groups the search by (centroid-block,
+# query-block): a query ships its vector once per probed BLOCK of
+# _PROBE_CBLK centroids (≤ ⌈k/128⌉ replicas instead of nprobe), a
+# database vector once per query block (⌈n/_PROBE_QBLK⌉ replicas), and
+# the in-task GEMM masks (q, d) pairs whose d.cid is not in q's probe
+# list — bit-identical pair coverage, shuffle volume ~40× smaller,
+# extra masked flops ≤ the block fraction not probed (small at high
+# nprobe, and they are BLAS flops). Tasks = cblocks × qblocks keeps 32+
+# cores busy at 500k vectors while each task's GEMM tiles q rows so no
+# sims matrix exceeds ~tile×|d-block| doubles.
+_PROBE_CBLK = 128
+_PROBE_QBLK = 1 << 16
+_PROBE_QTILE = 512
+
+
+def _multiprobe_blocks(assigned: DataFrame, n_vec: int) -> DataFrame:
+    """Blocked multiprobe relation from ``assigned`` (vec_id, e, cid,
+    probes): role-1 rows are queries, one per (vec, probed cblk) with
+    the probe list FILTERED to that block (ints, not the full list);
+    role-0 rows are database vectors, one per (vec, qblk) under the
+    block of their top-1 cid. Grouping by (cblk, qblk) gives every
+    (q, d) pair with d.cid ∈ q.probes exactly one meeting task."""
+    nq_blocks = max(1, -(-n_vec // _PROBE_QBLK))
+    blk_of = lambda c: F.floor(c / _PROBE_CBLK).cast("int")  # noqa: E731
+    q_pre = assigned.select(
+        "vec_id",
+        "e",
+        "probes",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nq_blocks)).cast("int").alias("qblk"),
+        F.explode(
+            F.array_distinct(F.transform("probes", lambda c: blk_of(c)))
+        ).alias("cblk"),
+    )
+    q_side = q_pre.select(
+        "cblk",
+        "qblk",
+        F.lit(1).alias("role"),
+        "vec_id",
+        "e",
+        F.lit(None).cast("int").alias("cid"),
+        F.filter(
+            "probes", lambda c: blk_of(c) == F.col("cblk")
+        ).alias("probes_blk"),
+    )
+    d_side = assigned.select(
+        blk_of(F.col("cid")).alias("cblk"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(nq_blocks)])
+        ).alias("qblk"),
+        F.lit(0).alias("role"),
+        "vec_id",
+        "e",
+        "cid",
+        F.lit(None).cast("array<int>").alias("probes_blk"),
+    )
+    return q_side.unionByName(d_side)
+
+
+def _parse_probe_group(pdf):
+    """Split one (cblk, qblk) group into numpy query/database sides and
+    the probe mask ingredients. Returns None when either side is empty.
+    ``d_local`` / local probe ids are cid % _PROBE_CBLK — unique within
+    a centroid block by construction."""
+    import numpy as np
+
+    db = pdf[pdf["role"] == 0]
+    qs = pdf[pdf["role"] == 1]
+    if db.empty or qs.empty:
+        return None
+    dmat = np.array(db["e"].tolist(), dtype=np.float64)
+    dids = db["vec_id"].to_numpy()
+    d_local = (db["cid"].to_numpy().astype(np.int64)) % _PROBE_CBLK
+    qmat = np.array(qs["e"].tolist(), dtype=np.float64)
+    qids = qs["vec_id"].to_numpy()
+    probes = qs["probes_blk"].tolist()
+    return qids, qmat, probes, dids, dmat, d_local
+
+
+def _probe_mask(probes, lo, hi):
+    """(hi−lo, _PROBE_CBLK) bool matrix: row i True at the local ids of
+    query i's in-block probe list — built with one fancy-index write,
+    no per-element Python loop."""
+    import numpy as np
+
+    lens = np.array([len(probes[i]) for i in range(lo, hi)])
+    rows = np.repeat(np.arange(hi - lo), lens)
+    cols = (
+        np.concatenate([np.asarray(probes[i]) for i in range(lo, hi)]).astype(
+            np.int64
+        )
+        % _PROBE_CBLK
+        if lens.sum()
+        else np.array([], dtype=np.int64)
+    )
+    m = np.zeros((hi - lo, _PROBE_CBLK), dtype=bool)
+    m[rows, cols] = True
+    return m
+
+
 def _centroid_probes_join(
     vec_df: DataFrame, cent_df: DataFrame, nprobe: int
 ) -> DataFrame:
@@ -954,43 +1058,43 @@ def llm_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = e_norm.join(_centroid_probes(e_df, cent, nprobe), "vec_id")
     # Query role probes its nprobe nearest lists; database role is
-    # indexed once under its single nearest centroid. The per-list
-    # search is an Arrow GEMM kernel grouped by cid — one (queries ×
-    # list) matmul per inverted list — NOT a row-level pair join: at
-    # sf1 the pair form is 3·10⁸ rows each dragging two 64-double
-    # arrays through the shuffle, while here what shuffles is one row
-    # per (query, probed list) and the dot products happen in BLAS.
-    q_side = assigned.select(
-        F.explode("probes").alias("cid"),
-        F.lit(1).alias("role"),
-        "vec_id",
-        "e",
-    )
-    d_side = assigned.select(
-        "cid", F.lit(0).alias("role"), F.col("vec_id"), "e"
-    )
-    both = q_side.unionByName(d_side)
+    # indexed once under its single nearest centroid. The search runs
+    # over the BLOCKED multiprobe relation (_multiprobe_blocks): the
+    # pre-round-14 per-cid grouping exploded one q row PER PROBED LIST,
+    # each dragging the 64-double vector — nprobe·n·dim ≈ 150 GB of
+    # incompressible shuffle at 500k vectors (ENOSPC'd the emb500k
+    # probe). Blocking ships each vector O(k/_PROBE_CBLK + n/_PROBE_QBLK)
+    # times instead, and the in-task GEMM masks non-probed (q, d)
+    # pairs, so the pair coverage — hence the certificate — is
+    # bit-identical.
+    both = _multiprobe_blocks(assigned, n_vec)
 
-    def list_search(pdf):
-        db = pdf[pdf["role"] == 0]
-        qs = pdf[pdf["role"] == 1]
-        if db.empty or qs.empty:
+    def block_search(pdf):
+        parsed = _parse_probe_group(pdf)
+        if parsed is None:
             return pd.DataFrame(
                 {"vec_id": pd.Series(dtype="int64"),
                  "cos_ivf": pd.Series(dtype="float64")}
             )
-        dmat = np.array(db["e"].tolist(), dtype=np.float64)
-        dids = db["vec_id"].to_numpy()
-        qmat = np.array(qs["e"].tolist(), dtype=np.float64)
-        qids = qs["vec_id"].to_numpy()
-        sims = qmat @ dmat.T
-        sims[qids[:, None] == dids[None, :]] = -np.inf  # self
-        best = sims.max(axis=1)
-        keep = best > -np.inf
-        return pd.DataFrame({"vec_id": qids[keep], "cos_ivf": best[keep]})
+        qids, qmat, probes, dids, dmat, d_local = parsed
+        out_ids, out_cos = [], []
+        for lo in range(0, len(qids), _PROBE_QTILE):
+            hi = min(lo + _PROBE_QTILE, len(qids))
+            sims = qmat[lo:hi] @ dmat.T
+            allowed = _probe_mask(probes, lo, hi)[:, d_local]
+            sims[~allowed] = -np.inf
+            sims[qids[lo:hi, None] == dids[None, :]] = -np.inf  # self
+            best = sims.max(axis=1)
+            keep = best > -np.inf
+            out_ids.append(qids[lo:hi][keep])
+            out_cos.append(best[keep])
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_ids),
+             "cos_ivf": np.concatenate(out_cos)}
+        )
 
-    per_list = both.groupBy("cid").applyInPandas(
-        list_search, "vec_id BIGINT, cos_ivf DOUBLE"
+    per_list = both.groupBy("cblk", "qblk").applyInPandas(
+        block_search, "vec_id BIGINT, cos_ivf DOUBLE"
     )
     ivf_top1 = per_list.groupBy("vec_id").agg(F.max("cos_ivf").alias("cos_ivf"))
 
@@ -1180,33 +1284,37 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     assigned = e_norm.join(_centroid_probes(e_df, cent, nprobe), "vec_id")
-    q_side = assigned.select(
-        F.explode("probes").alias("cid"), F.lit(1).alias("role"), "vec_id", "e"
-    )
-    d_side = assigned.select("cid", F.lit(0).alias("role"), "vec_id", "e")
-    both = q_side.unionByName(d_side)
+    # Blocked multiprobe relation (round-14, see _multiprobe_blocks):
+    # the per-cid probe explode shipped nprobe·n vector payloads and
+    # ENOSPC'd the 500k-vector probe; blocking makes the shuffle
+    # O(n·(k/_PROBE_CBLK + n/_PROBE_QBLK)) rows with the same exact
+    # pair coverage via the in-task probe mask.
+    both = _multiprobe_blocks(assigned, n_vec)
 
     # single-arg signature on purpose: applyInPandas dispatches a
     # (key, pdf) call form when the callable takes two parameters
-    def list_dups(pdf):
+    def block_dups(pdf):
         t = _SEMDEDUP_KMEANS_T
-        db = pdf[pdf["role"] == 0]
-        qs = pdf[pdf["role"] == 1]
-        if db.empty or qs.empty:
+        parsed = _parse_probe_group(pdf)
+        if parsed is None:
             return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        dmat = np.array(db["e"].tolist(), dtype=np.float64)
-        dids = db["vec_id"].to_numpy()
-        qmat = np.array(qs["e"].tolist(), dtype=np.float64)
-        qids = qs["vec_id"].to_numpy()
-        sims = qmat @ dmat.T
-        # drop q iff some LOWER-id database vector in a probed list is
-        # within the semantic-dup radius (the SemDeDup keep rule)
-        hit = ((sims >= t) & (dids[None, :] < qids[:, None])).any(axis=1)
-        return pd.DataFrame({"vec_id": qids[hit]})
+        qids, qmat, probes, dids, dmat, d_local = parsed
+        out = []
+        for lo in range(0, len(qids), _PROBE_QTILE):
+            hi = min(lo + _PROBE_QTILE, len(qids))
+            sims = qmat[lo:hi] @ dmat.T
+            allowed = _probe_mask(probes, lo, hi)[:, d_local]
+            # drop q iff some LOWER-id database vector in a probed list
+            # is within the semantic-dup radius (the SemDeDup keep rule)
+            hit = (
+                (sims >= t) & allowed & (dids[None, :] < qids[lo:hi, None])
+            ).any(axis=1)
+            out.append(qids[lo:hi][hit])
+        return pd.DataFrame({"vec_id": np.concatenate(out)})
 
     flagged = (
-        both.groupBy("cid")
-        .applyInPandas(list_dups, "vec_id BIGINT")
+        both.groupBy("cblk", "qblk")
+        .applyInPandas(block_dups, "vec_id BIGINT")
         .distinct()
         .withColumn("f", F.lit(1))
     )
