@@ -70,8 +70,15 @@ def main() -> None:
 
     load0 = round(os.getloadavg()[0], 2)
     t0 = time.perf_counter()
-    n = QUERIES[key](spark, sf_dir).count()
+    # persist so the certificate-row fetch below reads the materialized
+    # result instead of re-executing a minutes-scale plan
+    df = QUERIES[key](spark, sf_dir).persist()
+    n = df.count()
+    rows_payload = (
+        [r.asDict() for r in df.collect()] if n <= 3 else None
+    )
     dt = time.perf_counter() - t0
+    df.unpersist()
     stop.set()
     watcher.join(timeout=10.0)
 
@@ -83,6 +90,8 @@ def main() -> None:
         "loadavg": [load0, round(os.getloadavg()[0], 2)],
         "peak_scratch_gb": round(peak["bytes"] / (1 << 30), 2),
     }
+    if rows_payload is not None:
+        out["result_rows"] = rows_payload
     if key == "llm_near_dedup_minhash":
         from flume_hive_batch_sink_spark.llm.dedup import LAST_MINHASH_GUARD
 
