@@ -434,6 +434,46 @@ def test_watermark_eviction_bounds_state_rocksdb(spark):
             spark.conf.set(key, prev)
 
 
+def test_ttl_update_clamps_timeout_above_watermark():
+    """Round-14 ADVICE: a batch delivered wholly BEHIND the watermark
+    (late_chunk replay) used to make setTimeoutTimestamp throw —
+    last_ms + ttl can sit at or under the current watermark, which
+    Spark rejects. The update fn must clamp to watermark + 1 on the
+    late path and keep the data-driven timeout on the happy path."""
+    import pandas as pd
+
+    from flume_hive_batch_sink_spark.streaming.state_ttl import _make_update
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self, wm):
+            self._wm = wm
+            self.timeout = None
+
+        @property
+        def get(self):
+            return (0, 0)
+
+        def update(self, v):
+            self.val = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    upd = _make_update(ttl_ms=60_000)
+    late = FakeState(wm=10_000_000)
+    list(upd((1,), [pd.DataFrame({"ts_ms": [5_000]})], late))
+    assert late.timeout == 10_000_001, "late batch must clamp above wm"
+    fresh = FakeState(wm=1_000)
+    list(upd((1,), [pd.DataFrame({"ts_ms": [5_000]})], fresh))
+    assert fresh.timeout == 65_000, "happy path keeps last_ms + ttl"
+
+
 def test_custom_state_ttl_evicts_and_conserves_counts(spark):
     """stream_custom_state_ttl's eviction evidence — what the SQL oracle
     cannot see. On the sentinel-closed chunked replay with the RocksDB
