@@ -72,7 +72,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.count()  # materialize now so timed runs measure compute, not fill
             _INPUT_CACHE[key] = df
         return _INPUT_CACHE[key]
-    return _load_uncached(spark, sf_dir, name)
+    df = _load_uncached(spark, sf_dir, name)
+    # Test-only hook (round-15, VERDICT r14 item 2): force every input
+    # to N partitions so property tests can prove a key's output is
+    # invariant to partial-aggregation accumulation order — the exact
+    # degree of freedom a real cluster's splits exercise. Unset in
+    # production and in the driver's runs.
+    n_parts = os.environ.get("SPARK_GRAFT_REPARTITION_INPUTS")
+    if n_parts:
+        df = df.repartition(int(n_parts))
+    return df
 
 
 def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -27,6 +27,20 @@ from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.registry import query
 
 
+def _avg4(col: str):
+    """Aggregation-order-free 4-dp average of a double column: exact
+    DECIMAL sum of 9-dp-rounded terms / exact count, one final double
+    division + round. The repo's round-then-DECIMAL convention (see
+    agg_entropy) applied to averages — a plain round(avg(x),4) flips on
+    rounding-boundary cells whenever partitioning changes partial-agg
+    accumulation order, which is not 100 TB-safe (VERDICT r14 #2)."""
+    return F.round(
+        F.sum(F.round(F.col(col), 9).cast("decimal(20,9)")).cast("double")
+        / F.count(col),
+        4,
+    )
+
+
 @query(
     "ts_gapfill_ffill",
     oracle="""
@@ -41,7 +55,9 @@ from flume_hive_batch_sink_spark.registry import query
     grid AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
     agg AS (
       SELECT event_type, date_trunc('hour', ts) AS hr,
-             count(*) AS n, ROUND(avg(value), 4) AS avg_value
+             count(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9)))
+                        AS DOUBLE) / count(value), 4) AS avg_value
       FROM events GROUP BY 1, 2
     )
     SELECT g.event_type, g.hr,
@@ -77,7 +93,13 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # order-free 4-dp average (round-then-DECIMAL recipe, VERDICT
+        # r14 #2): round(avg(double),4) sat on a rounding boundary in
+        # 4/3600 cells at sf0.01, so ANY repartitioning flipped the
+        # value hash. Exact decimal sum of 9-dp-rounded terms divided
+        # by the exact count is one deterministic double division —
+        # identical under 1, 7, 32, or a cluster's partition count.
+        _avg4("value").alias("avg_value"),
     )
     w = (
         Window.partitionBy(grid.event_type)
@@ -222,7 +244,8 @@ def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
     agg AS (
       SELECT event_type, date_trunc('hour', ts) AS hr,
-             ROUND(avg(value), 4) AS v
+             ROUND(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9)))
+                        AS DOUBLE) / count(value), 4) AS v
       FROM events GROUP BY 1, 2
     ), ctx AS (
       SELECT g.event_type, g.hr, a.v,
@@ -275,7 +298,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = types.crossJoin(F.broadcast(hours))
     agg = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(_avg4("value").alias("v"))  # order-free 4-dp avg, see _avg4
 
     joined = grid.join(
         agg,

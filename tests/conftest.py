@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -8,6 +9,27 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Pin the input-cache mode OFF for the whole suite (round-15, VERDICT
+# r14 #1): bench.py used to flip SPARK_GRAFT_CACHE_INPUTS=1 at import
+# time, silently switching io.load to cache+repartition(32) for every
+# test that ran after the alphabetically-first `import bench` — 18
+# plan-shape gates (InMemoryTableScan instead of parquet pushdown) and
+# 2 rounding-boundary parity keys broke. bench.py now only sets the
+# var inside its entrypoints, and this pin guarantees no future import
+# can flip io.load's mode mid-suite regardless.
+os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "0"
+
+
+@pytest.fixture(autouse=True)
+def _pin_cache_inputs_off():
+    """Re-pin before every test: a test calling bench.main() (the retry
+    suite does, with run_spark_bench stubbed) reaches the entrypoint's
+    setdefault; forcing 0 here keeps that call a no-op and restores the
+    pin even if a test mutates the var."""
+    os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "0"
+    yield
+    os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "0"
 
 
 @pytest.fixture(scope="session")

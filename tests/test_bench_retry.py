@@ -14,10 +14,16 @@ import json
 import bench
 
 
-def _run_main(monkeypatch, results):
+def _run_main(monkeypatch, results, stops=None):
     it = iter(results)
     monkeypatch.setattr(bench, "run_spark_bench", lambda sf_dir: next(it))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    if stops is not None:
+        monkeypatch.setattr(
+            bench, "_stop_spark_for_cold_retry", lambda: stops.append(1)
+        )
+    else:
+        monkeypatch.setattr(bench, "_stop_spark_for_cold_retry", lambda: None)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench.main()
@@ -41,16 +47,47 @@ def test_uncontended_run_publishes_directly(monkeypatch):
 
 
 def test_contended_first_run_retries_and_publishes_steady_state(monkeypatch):
-    out = _run_main(monkeypatch, [_res(0.5, True), _res(0.3, False)])
+    stops = []
+    out = _run_main(monkeypatch, [_res(0.5, True), _res(0.3, False)], stops=stops)
     assert out["value"] == 0.3 and out["contended"] is False
     assert out["contended_first_run"]["value"] == 0.5
     assert out["contended_first_run"]["contended"] is True
+    # cold like-for-like (ADVICE r14): the first run's session is
+    # stopped before the retry so the retry pays warmup too
+    assert stops == [1]
 
 
-def test_both_contended_keeps_faster_run_with_provenance(monkeypatch):
+def test_both_contended_publishes_first_run_no_value_selection(monkeypatch):
+    # ADVICE r14: when both runs are contended, publish the FIRST run
+    # regardless of which measured faster — selecting min-of-two under
+    # contention is a cherry-picking bias. Retry FASTER than first:
+    out = _run_main(monkeypatch, [_res(0.9, True), _res(0.4, True)])
+    assert out["value"] == 0.9 and out["contended"] is True
+    assert out["contended_retry"]["value"] == 0.4
+    # and retry slower than first:
     out = _run_main(monkeypatch, [_res(0.4, True), _res(0.9, True)])
     assert out["value"] == 0.4 and out["contended"] is True
     assert out["contended_retry"]["value"] == 0.9
+
+
+def test_uncontended_retry_published_even_if_slower(monkeypatch):
+    # selection is by contention state only — an uncontended retry is
+    # the steady-state measurement even when it's numerically slower
+    out = _run_main(monkeypatch, [_res(0.3, True), _res(0.5, False)])
+    assert out["value"] == 0.5 and out["contended"] is False
+    assert out["contended_first_run"]["value"] == 0.3
+
+
+def test_import_bench_does_not_set_cache_inputs(monkeypatch):
+    # VERDICT r14 #1: importing bench must NOT flip io.load into cache
+    # mode — only the entrypoints may. The module was already imported
+    # at file top; assert the env var is whatever conftest pinned (0),
+    # then check main() uses setdefault (respects an existing pin).
+    import os
+
+    assert os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "0"
+    _run_main(monkeypatch, [_res(0.3, False)])
+    assert os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "0"
 
 
 def test_retry_disabled_by_env(monkeypatch):

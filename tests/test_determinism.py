@@ -205,3 +205,37 @@ def canonical(df) -> list[tuple]:
 def test_double_run_identical(spark, key):
     fn = registry.QUERIES[key]
     assert canonical(fn(spark, SF_DIR)) == canonical(fn(spark, SF_DIR))
+
+
+# Round-15 (VERDICT r14 #2): partition-count invariance. These keys
+# emit ROUNDED float aggregates; a plain round(avg(double), k) flips on
+# rounding-boundary cells whenever partial-agg accumulation order
+# changes — which is exactly what a real cluster's different input
+# splits do. ts_gapfill_ffill / ts_interpolate sat on 4 such boundary
+# cells at sf0.01 and are now computed order-free (timeseries._avg4);
+# this gate repartitions EVERY input to 1, 7, and 32 partitions via the
+# io.load hook and requires bit-identical canonical output, so the
+# fragility class cannot silently return.
+PARTITION_SENSITIVE = [
+    "ts_gapfill_ffill",
+    "ts_interpolate",
+    "agg_group_basic",  # round(avg(l_quantity),4) — integer-valued, must stay safe
+    "agg_entropy",      # the round-then-DECIMAL reference recipe
+    "win_sliding_frame",  # frame-ordered window avg — order fixed by ORDER BY
+]
+
+
+@pytest.mark.parametrize("key", PARTITION_SENSITIVE)
+def test_partition_count_invariant(spark, key):
+    fn = registry.QUERIES[key]
+    results = []
+    for n in ("1", "7", "32"):
+        os.environ["SPARK_GRAFT_REPARTITION_INPUTS"] = n
+        try:
+            results.append(canonical(fn(spark, SF_DIR)))
+        finally:
+            os.environ.pop("SPARK_GRAFT_REPARTITION_INPUTS", None)
+    assert results[0] == results[1] == results[2], (
+        f"{key}: output varies with input partition count — "
+        "aggregation-order-fragile rounding"
+    )

@@ -88,7 +88,10 @@ def test_driver_sample_rotation_stalest_first():
     last: dict[str, int] = {}
     repo = pathlib.Path(e.__file__).resolve().parent
     for f in repo.glob("CORRECTNESS_r*.json"):
-        rnd = int(re.search(r"_r(\d+)", f.name).group(1))
+        # mirror the production fallback (ADVICE r14): a digitless
+        # suffix (CORRECTNESS_rX.json) means round 0, not a crash
+        m = re.search(r"_r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
         doc = json.loads(f.read_text())
         if isinstance(doc, dict):
             for k in doc:
