@@ -51,7 +51,11 @@ winner's commit on re-read — the optimistic-retry loop therefore
 implements serializable read-modify-write over table versions. Tested
 by genuinely interleaved writer threads with a concurrent reader
 (tests/test_table_commit.py::test_concurrent_merge_writers_retry_until_both_land
-and ::test_truly_concurrent_publishes_serialize). Cross-HOST
+and ::test_truly_concurrent_publishes_serialize) AND — because flock
+ownership and rename atomicity are kernel contracts BETWEEN processes
+that a single-process threaded test cannot validate — by two separate
+driver PROCESSES racing publish on one table
+(::test_cross_process_publish_serializes, round-15). Cross-HOST
 coordination is out of scope by design: that is the catalog's CAS
 (Iceberg metastore/REST, Delta LogStore) — this module is the
 single-filesystem kernel those protocols wrap.

@@ -83,12 +83,16 @@ def replay_chunks_with_sentinels(
     sf_dir: str,
     n_chunks: int = 4,
     sentinel_offsets_min: tuple = (),
+    late_chunk: bool = False,
 ) -> DataFrame:
     """``replay_chunks`` plus trailing single-event sentinel chunks that
     push the watermark past every real key's event-time TTL — the drain
     barrier for TTL-evicting stateful operators (state_ttl.py). Each
     offset (minutes past the fixture's max ts) becomes one extra
-    micro-batch carrying exactly one ``user_id = -1`` event."""
+    micro-batch carrying exactly one ``user_id = -1`` event.
+    ``late_chunk`` composes (round-15): the oldest chunk replays after
+    the newer ones but BEFORE the sentinels — the adversarial schedule
+    the TTL watermark clamp exists for."""
     from flume_hive_batch_sink_spark.streaming import source
 
     return source.open_events_stream(
@@ -97,6 +101,7 @@ def replay_chunks_with_sentinels(
             transport="file-chunks",
             sf_dir=sf_dir,
             n_chunks=n_chunks,
+            late_chunk=late_chunk,
             sentinel_offsets_min=tuple(sentinel_offsets_min),
         ),
     )

@@ -28,7 +28,16 @@ ONLY on eviction; therefore
 
 — exactly the invariant TTL eviction must preserve (no event lost when
 state is dropped, none double-counted when a session restarts), and it
-is batch-expressible: the oracle is the plain per-user count. How the
+is batch-expressible: the oracle is the plain per-user count. Under an
+OUT-OF-ORDER replay the invariant holds in its accounting form: the
+engine's own pre-filter drops rows older than the watermark before the
+update fn sees them (the watermark contract — surfaced as
+numRowsDroppedByWatermark), so Σ evicted counts equals the ADMITTED
+rows exactly; kept rows always satisfy ts ≥ wm, which also means the
+setTimeoutTimestamp clamp below is a defensive invariant, not a hot
+path. Verified end-to-end against a batch twin of the late_chunk
+schedule (tests/test_streaming.py::
+test_custom_state_ttl_late_chunk_replay_end_to_end, round-15). How the
 total SPLITS into sessions depends on chunk boundaries and is pinned by
 tests/test_streaming.py (eviction count > 0, per-user sums, sentinel
 exclusion), plus the state-scale rehearsal row (scripts/stream_scale.py

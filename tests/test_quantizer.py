@@ -153,3 +153,56 @@ class TestJoinPathEndToEnd:
         monkeypatch.setattr(S, "_ASSIGN_CLOSURE_DOUBLES", 0)
         row = S.llm_semdedup_kmeans(spark, SF).collect()[0]
         assert row["precision_ok"] and row["recall_ok"]
+
+
+class TestMultiprobeBlockScaling:
+    """Round-15 (ADVICE r14): the d-side of the blocked multiprobe
+    relation replicates each database vector once per QUERY BLOCK, so
+    block COUNT must stay bounded as n grows — with a fixed 2^16 block
+    size, 50M vectors meant 763 copies of every vector (the quadratic
+    shuffle reappearing one order up) and a 763-element literal array
+    in the plan. Block size now scales with n, capping d-replication at
+    _PROBE_MAX_QBLOCKS, and the explode runs over sequence() (constant
+    plan size)."""
+
+    def _qblk_counts(self, spark, n_vec):
+        from pyspark.sql import functions as F
+
+        assigned = spark.createDataFrame(
+            [(i, [0.6, 0.8], i % 3, [i % 3]) for i in range(6)],
+            "vec_id bigint, e array<double>, cid int, probes array<int>",
+        )
+        both = S._multiprobe_blocks(assigned, n_vec)
+        d = both.filter(F.col("role") == 0)
+        per_vec = (
+            d.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        distinct_qblk = d.select("qblk").distinct().count()
+        return per_vec, distinct_qblk
+
+    def test_small_n_keeps_fixed_block_size(self, spark):
+        per_vec, nq = self._qblk_counts(spark, 500_000)
+        assert nq == -(-500_000 // S._PROBE_QBLK) == 8
+        assert per_vec == 8
+
+    def test_large_n_caps_d_replication(self, spark):
+        # 50M vectors: 763 query blocks before the fix — now ≤ the cap
+        per_vec, nq = self._qblk_counts(spark, 50_000_000)
+        assert nq <= S._PROBE_MAX_QBLOCKS
+        assert per_vec <= S._PROBE_MAX_QBLOCKS
+
+    def test_plan_size_bounded_in_n(self, spark):
+        # the d-side explode is sequence() and block count is capped, so
+        # the optimized plan (Catalyst constant-folds the sequence into
+        # a ≤_PROBE_MAX_QBLOCKS-element literal) may not grow past the
+        # cap: 1e9 and 1e12 vectors must produce byte-identical plans,
+        # where the old literal array grew by ~12 chars per 65k vectors.
+        assigned = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0, [0])],
+            "vec_id bigint, e array<double>, cid int, probes array<int>",
+        )
+        big = S._multiprobe_blocks(assigned, 10**9)
+        huge = S._multiprobe_blocks(assigned, 10**12)
+        lb = len(big._jdf.queryExecution().optimizedPlan().toString())
+        lh = len(huge._jdf.queryExecution().optimizedPlan().toString())
+        assert lh == lb, f"plan grows past the block-count cap: {lb} -> {lh}"

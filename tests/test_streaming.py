@@ -541,6 +541,88 @@ def test_custom_state_ttl_evicts_and_conserves_counts(spark):
             spark.conf.set(key, prev)
 
 
+def test_custom_state_ttl_late_chunk_replay_end_to_end(spark):
+    """Round-15 (VERDICT r14 watch item 3): the round-14 watermark clamp
+    was pinned only with a FakeState — this runs the REAL
+    applyInPandasWithState operator under the adversarial schedule it
+    was written for: late_chunk replay delivers the OLDEST chunk after
+    three newer chunks have advanced the watermark past its entire time
+    range. What the real engine does (and this pins): rows older than
+    the watermark are DROPPED by the operator's pre-filter before the
+    update fn ever sees them (numRowsDroppedByWatermark) — that is the
+    watermark contract, not a bug — so the conservation invariant holds
+    in its accounting form: per user, Σ evicted session counts equals
+    the user's ADMITTED rows (chunks replayed before the watermark
+    passed them + any late rows still inside the 10-min delay), and the
+    dropped count equals exactly the late chunk's behind-watermark
+    rows. The query must complete with no setTimeoutTimestamp throw
+    (kept rows always satisfy ts ≥ wm, so the clamp stays a defensive
+    invariant rather than a hot path). The batch twin below replays the
+    same ntile chunking + watermark arithmetic to compute the admitted
+    set exactly."""
+    from pyspark.sql.window import Window
+
+    from flume_hive_batch_sink_spark.streaming import state_ttl
+
+    src = harness.replay_chunks_with_sentinels(
+        spark,
+        SF_DIR,
+        n_chunks=4,
+        sentinel_offsets_min=(120, 240),
+        late_chunk=True,
+    )
+    out = state_ttl.ttl_counters_stream(spark, src)
+    emitted, progress = harness.run_with_progress(
+        out, "ttl_late_gate", "update", spark
+    )
+    ops = [
+        p["stateOperators"][0] for p in progress if p.get("stateOperators")
+    ]
+    dropped_wm = sum(op.get("numRowsDroppedByWatermark") or 0 for op in ops)
+
+    # batch twin of the replay: chunk 1 (oldest quartile) arrives after
+    # chunks 2-4, when the watermark is max(ts of chunks 2-4) − 10 min;
+    # a chunk-1 row is admitted iff its event time is ≥ that watermark
+    ev = load(spark, SF_DIR, "events")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ).cache()
+    wm_ms = (
+        chunked.filter(F.col("chunk") != 1)
+        .agg((F.max(F.unix_millis("ts")) - 600_000).alias("w"))
+        .collect()[0]["w"]
+    )
+    admitted = chunked.filter(
+        (F.col("chunk") != 1) | (F.unix_millis("ts") >= wm_ms)
+    )
+    n_late_dropped = chunked.count() - admitted.count()
+    assert n_late_dropped > 0, "fixture must actually produce late rows"
+    assert dropped_wm == n_late_dropped, (
+        f"engine dropped {dropped_wm}, twin computed {n_late_dropped}"
+    )
+
+    got = (
+        emitted.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    want = admitted.groupBy("user_id").agg(F.count("*").alias("n"))
+    mismatch = (
+        got.withColumnRenamed("n", "got_n")
+        .join(want.withColumnRenamed("n", "want_n"), "user_id", "full")
+        .filter(
+            F.col("got_n").isNull()
+            | F.col("want_n").isNull()
+            | (F.col("got_n") != F.col("want_n"))
+        )
+        .count()
+    )
+    chunked.unpersist()
+    assert mismatch == 0, (
+        f"{mismatch} users lost/dup counts over the ADMITTED rows"
+    )
+
+
 RUNNER_KILL_MIDEPOCH = r'''
 import os
 import signal
