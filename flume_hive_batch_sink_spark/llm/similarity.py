@@ -1548,6 +1548,40 @@ _DEC_DOT = (
     "CAST(0 AS DECIMAL(28,9)), (acc, z) -> CAST(acc + z AS DECIMAL(28,9)))"
 )
 
+# Scaled-int64 twins (round-15, VERDICT r14 item 7). Every term the
+# decimal kernels sum is an exact multiple of 1e-9 (round(…, 9) then
+# exact DECIMAL cast), so the whole sum is exactly representable as the
+# INTEGER count of 1e-9 units: term × 1e9 in DECIMAL arithmetic (exact)
+# cast to BIGINT, accumulated with plain long adds. Order-free like the
+# decimal path (integer addition commutes), identical ranking (x ↦
+# x·1e9 is monotone), and the final score is recovered as scaled_long /
+# 1e9 — correctly-rounded double because every |scaled sum| here is
+# ≪ 2^53 (embeddings are O(1)-magnitude; a 64-term dot stays < 1e12
+# units; the profile probe measured |max| ~1e11). The point: Spark
+# decimal arithmetic is java.math.BigDecimal — one object allocation
+# per add — and the PQ dataflow runs these kernels |corpus|·|q| times;
+# the int64 twins keep the whole-stage-codegen loop allocation-free.
+# Magnitude guard: a term would overflow the scaled long only past
+# |x·y| ≈ 9.2e9, at which point DECIMAL(20,9) is near its own cap and
+# the operator contract (embedding-scaled data) is already broken.
+_LONG_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(round((x - y) * (x - y), 9) AS DECIMAL(20,9)) "
+    "* 1000000000 AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+)
+_LONG_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(round(x * y, 9) AS DECIMAL(20,9)) "
+    "* 1000000000 AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+)
+
+# int64 kernels are the default; the decimal path is kept (A/B-tested
+# bit-identical, tests/test_quantizer.py) as the readable reference
+# semantics and for the profile probe.
+_PQ_INT64_KERNELS = True
+
 _PQ_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1658,13 +1692,14 @@ def _pq_exact_top10(e: DataFrame) -> DataFrame:
     # at sf1 that is 26M decimal dot products that would otherwise run
     # on 2 of 32 cores (the calibration-tier repartition lesson).
     par = e.sparkSession.sparkContext.defaultParallelism
+    dot_kernel = _LONG_DOT if _PQ_INT64_KERNELS else _DEC_DOT
     exact0 = (
         e.repartition(par).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.expr(_DEC_DOT.format(a="qe", b="e")).alias("score"),
+            F.expr(dot_kernel.format(a="qe", b="e")).alias("score"),
         )
     )
     w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
@@ -1702,9 +1737,11 @@ def _pq_search(
     # repartitions spread the multiplied work across the cluster; at
     # sf1 this took the engine side from ~320s to task-parallel.
     par = e.sparkSession.sparkContext.defaultParallelism
+    sqd_kernel = _LONG_SQDIST if _PQ_INT64_KERNELS else _DEC_SQDIST
+    dot_kernel = _LONG_DOT if _PQ_INT64_KERNELS else _DEC_DOT
     subv = _pq_sub_explode(e, F.col("e"), "vs").repartition(par)
     enc0 = subv.join(F.broadcast(codebook), "s").withColumn(
-        "sqd", F.expr(_DEC_SQDIST.format(a="vs", b="cs"))
+        "sqd", F.expr(sqd_kernel.format(a="vs", b="cs"))
     )
     # nearest centroid per (vec_id, s): struct-min is lexicographic on
     # (sqd, cid) — identical to the previous row_number-over-(sqd, cid)
@@ -1726,7 +1763,7 @@ def _pq_search(
         q.withColumnRenamed("qe", "e"), F.col("e"), "qs"
     )
     lut = qsub.join(F.broadcast(codebook), "s").select(
-        "qid", "s", "cid", F.expr(_DEC_DOT.format(a="qs", b="cs")).alias("d")
+        "qid", "s", "cid", F.expr(dot_kernel.format(a="qs", b="cs")).alias("d")
     )
 
     # ADC as an array-indexed LUT sum (round-13): the former shape
@@ -1774,28 +1811,40 @@ def _pq_search(
         )
         .select("qid", F.transform("t", lambda x: x["d"]).alias("tbl"))
     )
+    if _PQ_INT64_KERNELS:
+        # tbl entries are scaled int64 — the hot |corpus|·|q| loop is
+        # pure long adds inside whole-stage codegen, no BigDecimal
+        # allocation per element (round-15, the ADC constant-factor fix)
+        adc_agg = F.aggregate(
+            F.transform(
+                F.col("code"),
+                lambda c, i: F.element_at(
+                    F.col("tbl"), (i * kk + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    else:
+        # (28,9) accumulator, cast back each step: a (38,9)
+        # accumulator would need precision 39 on add and Spark's
+        # overflow rule silently drops the scale to 8 (the _DEC_DOT
+        # lesson above)
+        adc_agg = F.aggregate(
+            F.transform(
+                F.col("code"),
+                lambda c, i: F.element_at(
+                    F.col("tbl"), (i * kk + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        )
     adc = (
         codes_arr.repartition(par)
         .crossJoin(F.broadcast(lut_arr))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.transform(
-                    F.col("code"),
-                    lambda c, i: F.element_at(
-                        F.col("tbl"), (i * kk + c + 1).cast("int")
-                    ),
-                ),
-                # (28,9) accumulator, cast back each step: a (38,9)
-                # accumulator would need precision 39 on add and
-                # Spark's overflow rule silently drops the scale to 8
-                # (the _DEC_DOT lesson above)
-                F.lit(0).cast("decimal(28,9)"),
-                lambda acc, x: (acc + x).cast("decimal(28,9)"),
-            ).alias("ascore"),
-        )
+        .select("qid", "vec_id", adc_agg.alias("ascore"))
     )
     w_rk = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "vec_id")
     approx = (
@@ -1818,11 +1867,19 @@ def _pq_search(
         F.col("x_id").isNotNull().alias("in_exact10"),
     )
     w_q = Window.partitionBy("qid")
+    # scaled-long → double: the long is the exact count of 1e-9 units
+    # and stays ≪ 2^53, so long/1e9 is the correctly-rounded double of
+    # the exact value — identical to DECIMAL(…,9) → DOUBLE
+    ascore_out = (
+        (F.col("ascore") / F.lit(1_000_000_000.0))
+        if _PQ_INT64_KERNELS
+        else F.col("ascore").cast("double")
+    )
     return hits.select(
         F.col("qid").alias("query_id"),
         "rk",
         "nn_id",
-        F.col("ascore").cast("double").alias("ascore"),
+        ascore_out.alias("ascore"),
         "in_exact10",
         (
             F.sum(F.when(F.col("in_exact10"), 1).otherwise(0)).over(w_q)

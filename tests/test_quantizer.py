@@ -206,3 +206,26 @@ class TestMultiprobeBlockScaling:
         lb = len(big._jdf.queryExecution().optimizedPlan().toString())
         lh = len(huge._jdf.queryExecution().optimizedPlan().toString())
         assert lh == lb, f"plan grows past the block-count cap: {lb} -> {lh}"
+
+
+class TestPQInt64Kernels:
+    """Round-15 (VERDICT r14 item 7): the PQ decimal kernels are exact
+    sums of 1e-9-unit terms, so the scaled-int64 twins must produce
+    BIT-IDENTICAL output — same codes (argmin is monotone under x·1e9),
+    same ranking, same double ascore (the scaled long stays ≪ 2^53, so
+    long/1e9 is the correctly-rounded double the decimal cast gives)."""
+
+    def _run(self, spark):
+        rows = [
+            (r["query_id"], r["rk"], r["nn_id"], r["ascore"],
+             r["in_exact10"], r["recall10"])
+            for r in S.llm_ann_pq(spark, SF).orderBy("query_id", "rk").collect()
+        ]
+        return rows
+
+    def test_int64_and_decimal_paths_bit_identical(self, spark, monkeypatch):
+        assert S._PQ_INT64_KERNELS is True  # int64 is the default
+        fast = self._run(spark)
+        monkeypatch.setattr(S, "_PQ_INT64_KERNELS", False)
+        slow = self._run(spark)
+        assert fast == slow
