@@ -1633,7 +1633,8 @@ _PQ_ORACLE = f"""
     ), exact0 AS (
       SELECT q.qid, v.vec_id,
              list_sum(list_transform(list_zip(q.qe, v.e),
-               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+               x -> CAST(floor(x[1] * x[2] * 1000000000 + 0.5)
+                         AS BIGINT))) AS score
       FROM q, e v WHERE v.vec_id <> q.qid
     ), exact AS (
       SELECT qid, vec_id, row_number() OVER (
@@ -1678,29 +1679,72 @@ def _pq_sub_explode(df, vec_col, out_col):
 
 def _pq_exact_top10(e: DataFrame) -> DataFrame:
     """The exact inner-product top-10 per query — the certificate's
-    ground truth, test-scale-only by construction (crossJoin). Depends
-    only on the corpus, not on any codebook, so an A/B key computes it
-    ONCE and passes it to both _pq_search calls."""
-    q = (
+    ground truth. Depends only on the corpus, not on any codebook, so
+    an A/B key computes it ONCE and passes it to both _pq_search calls.
+
+    Round-15 (VERDICT r14 item 7): the profile probe measured this tier
+    at **322.5 of llm_ann_pq's 323 s** over 500k vectors — the "slow
+    ADC" was never the ADC. The old shape evaluated the per-pair dot as
+    a zip_with/aggregate expression whose per-term ROUND(x·y, 9) +
+    DECIMAL cast each allocate a java.math.BigDecimal: 128M pairs × 64
+    terms × ~3 allocations. Now the score is defined as
+    Σ floor(x·y·1e9 + 0.5) summed in int64 — every operation is a
+    single correctly-rounded IEEE double op (multiply, multiply, add,
+    floor) with no decimal anywhere, so numpy computes the bit-exact
+    same integers DuckDB's floor() does, order-free because integer
+    addition commutes. Each Arrow batch emits only its per-query local
+    top-10 under the global (score DESC, vec_id) order (a global
+    winner is necessarily a batch-local winner), and a tiny window
+    merges the ≤ 10·#batches rows per query. Tiles bound the
+    (tile × |q| × dim) broadcast product to ~34 MB per task."""
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = (
         e.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
         .orderBy("vec_id")
         .limit(_PQ_QUERY_LIMIT)
-        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+        .toPandas()
     )
-    # spread the corpus before the broadcast fan-out: e arrives in 1-2
-    # scan partitions, and the crossJoin multiplies each row by |q| —
-    # at sf1 that is 26M decimal dot products that would otherwise run
-    # on 2 of 32 cores (the calibration-tier repartition lesson).
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_mat = np.array(q_pdf["e"].tolist(), dtype=np.float64)
+
+    def scan(batches, q_ids=q_ids, q_mat=q_mat):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            scores = np.empty((len(ids), len(q_ids)), dtype=np.int64)
+            for lo in range(0, len(ids), 256):
+                hi = min(lo + 256, len(ids))
+                t = mat[lo:hi, None, :] * q_mat[None, :, :]
+                t *= 1e9
+                t += 0.5
+                np.floor(t, out=t)
+                scores[lo:hi] = t.sum(axis=2, dtype=np.int64)
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(q_ids)):
+                sel = ids != q_ids[j]
+                sids, sc = ids[sel], scores[sel, j]
+                top = np.lexsort((sids, -sc))[:10]
+                out_q.append(np.full(len(top), q_ids[j], dtype=np.int64))
+                out_v.append(sids[top])
+                out_s.append(sc[top])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    # spread the corpus first: the fixture parquet arrives in 1-2 scan
+    # partitions and the kernel is CPU-bound (the calibration-tier
+    # repartition lesson)
     par = e.sparkSession.sparkContext.defaultParallelism
-    dot_kernel = _LONG_DOT if _PQ_INT64_KERNELS else _DEC_DOT
-    exact0 = (
-        e.repartition(par).crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr(dot_kernel.format(a="qe", b="e")).alias("score"),
-        )
+    cand = (
+        e.select("vec_id", "e")
+        .repartition(par)
+        .mapInPandas(scan, "qid BIGINT, vec_id BIGINT, score BIGINT")
     )
     w_ek = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     # explicit x_qid alias: both sides of the downstream join descend
@@ -1709,7 +1753,7 @@ def _pq_exact_top10(e: DataFrame) -> DataFrame:
     # equals predicate" warning) — fragile across versions. Distinct
     # names make the condition unambiguous by construction.
     return (
-        exact0.withColumn("ek", F.row_number().over(w_ek))
+        cand.withColumn("ek", F.row_number().over(w_ek))
         .filter(F.col("ek") <= 10)
         .select(F.col("qid").alias("x_qid"), F.col("vec_id").alias("x_id"))
     )
