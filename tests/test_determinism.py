@@ -222,6 +222,16 @@ PARTITION_SENSITIVE = [
     "agg_group_basic",  # round(avg(l_quantity),4) — integer-valued, must stay safe
     "agg_entropy",      # the round-then-DECIMAL reference recipe
     "win_sliding_frame",  # frame-ordered window avg — order fixed by ORDER BY
+    # round-15 widening: every remaining round(avg(continuous-double))
+    # grouped-agg key outside the original timeseries sweep scope —
+    # the same latent class, gated rather than assumed safe
+    "agg_cube",                 # round(avg(o_totalprice),4)
+    "agg_conditional",          # round(avg(value>100),4)
+    "agg_trimmed_winsorized",   # three round(avg(price-ish),4) columns
+    "pipeline_ship_sla",        # round(avg(datediff),4) — int-valued terms
+    "llm_embedding_norm_audit", # round(avg(nrm),4)
+    "llm_text_stats",           # round(avg(token counts),4) — int-valued
+    "llm_lang_filter_pipeline", # round(avg(n_chars),4) — int-valued
 ]
 
 
