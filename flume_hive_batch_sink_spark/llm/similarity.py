@@ -1577,10 +1577,17 @@ _LONG_DOT = (
     "CAST(0 AS BIGINT), (acc, z) -> acc + z)"
 )
 
-# int64 kernels are the default; the decimal path is kept (A/B-tested
-# bit-identical, tests/test_quantizer.py) as the readable reference
-# semantics and for the profile probe.
-_PQ_INT64_KERNELS = True
+# Default: the DECIMAL reference kernels. After the round-15 numpy
+# rewrites of the exact-truth tier and the ADC scan, no hot loop runs
+# these expressions over |corpus|·|q| rows anymore — only the
+# |corpus|·m·k encode and |q|·m·k LUT stages — and there the decimal
+# form measures FASTER (2.5 s vs 6.3 s encode at 500k: the int64 twin
+# adds a decimal multiply + long cast per term for a win that only
+# existed at exact-tier scale). The int64 twins stay A/B-pinned
+# bit-identical (tests/test_quantizer.py::TestPQInt64Kernels) as the
+# documented evidence that the decimal values ARE exact 1e-9-unit
+# integers — the invariant the numpy stages rely on.
+_PQ_INT64_KERNELS = False
 
 _PQ_ORACLE = f"""
     WITH e AS (
@@ -1855,46 +1862,63 @@ def _pq_search(
         )
         .select("qid", F.transform("t", lambda x: x["d"]).alias("tbl"))
     )
+    # ADC scan as a numpy LUT gather (round-15, completing the item-7
+    # profile fix): the expression form — codes crossJoin broadcast
+    # LUT, 8-term element_at sum, then a GLOBAL per-query window sort
+    # over |corpus|·|q| rows — measured ~53 s of the 78 s post-truth-fix
+    # wall at 500k, and the cost was the row machinery + 128M-row sort,
+    # not arithmetic (decimal and int64 kernels timed equal). The
+    # |q|·m·k LUT matrix is ~256 KB — it rides a task closure; each
+    # Arrow batch gathers its scores with one int64 fancy-index per
+    # query and emits only its batch-local top-10 under the global
+    # (score DESC, vec_id) order (same argument as _pq_exact_top10),
+    # so the final window touches ≤ 10·#batches rows per query. LUT
+    # values are exact 1e-9-unit integers in both kernel modes (the
+    # decimal mode converts via Decimal.scaleb — exact), keeping the
+    # A/B bit-identity.
+    import numpy as np
+    import pandas as pd
+
+    lut_pdf = lut_arr.toPandas()
+    q_ids_np = lut_pdf["qid"].to_numpy()
     if _PQ_INT64_KERNELS:
-        # tbl entries are scaled int64 — the hot |corpus|·|q| loop is
-        # pure long adds inside whole-stage codegen, no BigDecimal
-        # allocation per element (round-15, the ADC constant-factor fix)
-        adc_agg = F.aggregate(
-            F.transform(
-                F.col("code"),
-                lambda c, i: F.element_at(
-                    F.col("tbl"), (i * kk + c + 1).cast("int")
-                ),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        tblm = np.array(lut_pdf["tbl"].tolist(), dtype=np.int64)
     else:
-        # (28,9) accumulator, cast back each step: a (38,9)
-        # accumulator would need precision 39 on add and Spark's
-        # overflow rule silently drops the scale to 8 (the _DEC_DOT
-        # lesson above)
-        adc_agg = F.aggregate(
-            F.transform(
-                F.col("code"),
-                lambda c, i: F.element_at(
-                    F.col("tbl"), (i * kk + c + 1).cast("int")
-                ),
-            ),
-            F.lit(0).cast("decimal(28,9)"),
-            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        tblm = np.array(
+            [[int(d.scaleb(9)) for d in row] for row in lut_pdf["tbl"]],
+            dtype=np.int64,
         )
-    adc = (
-        codes_arr.repartition(par)
-        .crossJoin(F.broadcast(lut_arr))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", adc_agg.alias("ascore"))
+    m_offsets = (np.arange(_PQ_M, dtype=np.int64) * _PQ_K)[None, :]
+
+    def adc_scan(batches, q_ids=q_ids_np, tblm=tblm):
+        for pdf in batches:
+            vids = pdf["vec_id"].to_numpy()
+            codes_m = np.array(pdf["code"].tolist(), dtype=np.int64)
+            flat = codes_m + m_offsets  # (B, m) flat LUT indices
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(q_ids)):
+                scores = tblm[j][flat].sum(axis=1, dtype=np.int64)
+                sel = vids != q_ids[j]
+                svids, sc = vids[sel], scores[sel]
+                top = np.lexsort((svids, -sc))[:10]
+                out_q.append(np.full(len(top), q_ids[j], dtype=np.int64))
+                out_v.append(svids[top])
+                out_s.append(sc[top])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "nn_id": np.concatenate(out_v),
+                    "ascore": np.concatenate(out_s),
+                }
+            )
+
+    adc = codes_arr.repartition(par).mapInPandas(
+        adc_scan, "qid BIGINT, nn_id BIGINT, ascore BIGINT"
     )
-    w_rk = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "vec_id")
+    w_rk = Window.partitionBy("qid").orderBy(F.col("ascore").desc(), "nn_id")
     approx = (
         adc.withColumn("rk", F.row_number().over(w_rk))
         .filter(F.col("rk") <= 10)
-        .withColumnRenamed("vec_id", "nn_id")
     )
 
     if exact10 is None:
@@ -1913,12 +1937,9 @@ def _pq_search(
     w_q = Window.partitionBy("qid")
     # scaled-long → double: the long is the exact count of 1e-9 units
     # and stays ≪ 2^53, so long/1e9 is the correctly-rounded double of
-    # the exact value — identical to DECIMAL(…,9) → DOUBLE
-    ascore_out = (
-        (F.col("ascore") / F.lit(1_000_000_000.0))
-        if _PQ_INT64_KERNELS
-        else F.col("ascore").cast("double")
-    )
+    # the exact value — identical to DECIMAL(…,9) → DOUBLE (the numpy
+    # ADC emits the scaled long in both kernel modes)
+    ascore_out = F.col("ascore") / F.lit(1_000_000_000.0)
     return hits.select(
         F.col("qid").alias("query_id"),
         "rk",

@@ -224,8 +224,8 @@ class TestPQInt64Kernels:
         return rows
 
     def test_int64_and_decimal_paths_bit_identical(self, spark, monkeypatch):
-        assert S._PQ_INT64_KERNELS is True  # int64 is the default
-        fast = self._run(spark)
-        monkeypatch.setattr(S, "_PQ_INT64_KERNELS", False)
-        slow = self._run(spark)
-        assert fast == slow
+        assert S._PQ_INT64_KERNELS is False  # decimal reference is default
+        ref = self._run(spark)
+        monkeypatch.setattr(S, "_PQ_INT64_KERNELS", True)
+        scaled = self._run(spark)
+        assert ref == scaled
