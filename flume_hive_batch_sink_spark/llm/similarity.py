@@ -2205,13 +2205,15 @@ _HARD_NEG_ORACLE = f"""
     ), pos AS (
       SELECT a.aid, v.vec_id,
              list_sum(list_transform(list_zip(a.ae, v.e),
-               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+               x -> CAST(floor(x[1] * x[2] * 1000000000 + 0.5)
+                         AS BIGINT))) AS score
       FROM anchors a JOIN e v
         ON v.label = a.alabel AND v.vec_id <> a.aid
     ), neg AS (
       SELECT a.aid, a.alabel, v.vec_id, v.label,
              list_sum(list_transform(list_zip(a.ae, v.e),
-               x -> CAST(ROUND(x[1] * x[2], 9) AS DECIMAL(20,9)))) AS score
+               x -> CAST(floor(x[1] * x[2] * 1000000000 + 0.5)
+                         AS BIGINT))) AS score
       FROM anchors a JOIN e v ON v.label <> a.alabel
     ), best_pos AS (
       SELECT aid, vec_id AS pos_id, score AS pos_score FROM (
@@ -2227,9 +2229,11 @@ _HARD_NEG_ORACLE = f"""
       WHERE rn = 1
     )
     SELECT p.aid AS anchor_id, n.alabel AS anchor_label,
-           p.pos_id, CAST(p.pos_score AS DOUBLE) AS pos_score,
-           n.neg_id, n.neg_label, CAST(n.neg_score AS DOUBLE) AS neg_score,
-           CAST(p.pos_score - n.neg_score AS DOUBLE) AS margin
+           p.pos_id,
+           CAST(p.pos_score AS DOUBLE) / 1000000000 AS pos_score,
+           n.neg_id, n.neg_label,
+           CAST(n.neg_score AS DOUBLE) / 1000000000 AS neg_score,
+           CAST(p.pos_score - n.neg_score AS DOUBLE) / 1000000000 AS margin
     FROM best_pos p JOIN best_neg n ON p.aid = n.aid
 """
 
@@ -2250,26 +2254,74 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. At 100 TB the corpus side routes through the LSH/IVF
     candidate generators first (llm_ann_lsh / llm_ann_ivf) — mining
     only probes bucket-mates, same gate as every pairwise kernel
-    here."""
+    here.
+
+    Round-15: the anchor×corpus scoring is the same shape the item-7
+    profile caught in _pq_exact_top10 — a crossJoin evaluating a
+    64-term decimal expression per pair (at 500k: 128M pairs × 64
+    BigDecimal-allocating terms). Same fix: scores are
+    Σ floor(x·y·1e9 + 0.5) int64 (pure IEEE ops, identical in numpy
+    and DuckDB), the 256-anchor matrix rides a task closure, and each
+    Arrow batch emits only its local best positive and best negative
+    per anchor under the global (score DESC, vec_id) order — the
+    downstream windows rank ≤ 2·#batches candidates per anchor."""
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _as_double("embedding").alias("e"))
-    anchors = (
+    a_pdf = (
         e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0)
         .orderBy("vec_id")
         .limit(_HN_ANCHOR_LIMIT)
-        .select(
-            F.col("vec_id").alias("aid"),
-            F.col("label").alias("alabel"),
-            F.col("e").alias("ae"),
-        )
+        .toPandas()
     )
-    dec_dot = F.expr(_DEC_DOT.format(a="ae", b="e"))
-    # spread the corpus before the |anchors|-fold broadcast fan-out —
-    # e arrives in 1-2 scan partitions, and without this the sf1 run
-    # put 26M decimal dots on 2 of 32 cores (the _pq_exact_top10 fix).
+    a_ids = a_pdf["vec_id"].to_numpy()
+    a_labels = a_pdf["label"].to_numpy()
+    a_mat = np.array(a_pdf["e"].tolist(), dtype=np.float64)
+
+    def scan(batches, a_ids=a_ids, a_labels=a_labels, a_mat=a_mat):
+        for pdf in batches:
+            vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            scores = np.empty((len(vids), len(a_ids)), dtype=np.int64)
+            for lo in range(0, len(vids), 256):
+                hi = min(lo + 256, len(vids))
+                t = mat[lo:hi, None, :] * a_mat[None, :, :]
+                t *= 1e9
+                t += 0.5
+                np.floor(t, out=t)
+                scores[lo:hi] = t.sum(axis=2, dtype=np.int64)
+            rows: list[tuple] = []
+            for j in range(len(a_ids)):
+                same = labels == a_labels[j]
+                for sel in (same & (vids != a_ids[j]), ~same):
+                    if not sel.any():
+                        continue
+                    svids, sc = vids[sel], scores[sel, j]
+                    slab = labels[sel]
+                    top = np.lexsort((svids, -sc))[0]
+                    rows.append(
+                        (
+                            int(a_ids[j]),
+                            int(a_labels[j]),
+                            int(svids[top]),
+                            int(slab[top]),
+                            int(sc[top]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["aid", "alabel", "vec_id", "label", "score"]
+            )
+
     par = e.sparkSession.sparkContext.defaultParallelism
-    scored = e.repartition(par).crossJoin(F.broadcast(anchors)).select(
-        "aid", "alabel", "vec_id", "label", dec_dot.alias("score")
+    scored = (
+        e.repartition(par)
+        .mapInPandas(
+            scan,
+            "aid BIGINT, alabel INT, vec_id BIGINT, label INT, score BIGINT",
+        )
     )
     pos = scored.filter(
         (F.col("label") == F.col("alabel")) & (F.col("vec_id") != F.col("aid"))
@@ -2296,17 +2348,17 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("neg_score"),
         )
     )
+    scale = F.lit(1_000_000_000.0)
     return best_pos.join(best_neg, "aid").select(
         F.col("aid").alias("anchor_id"),
         "anchor_label",
         "pos_id",
-        F.col("pos_score").cast("double").alias("pos_score"),
+        (F.col("pos_score") / scale).alias("pos_score"),
         "neg_id",
         "neg_label",
-        F.col("neg_score").cast("double").alias("neg_score"),
-        (F.col("pos_score") - F.col("neg_score")).cast("double").alias(
-            "margin"
-        ),
+        (F.col("neg_score") / scale).alias("neg_score"),
+        ((F.col("pos_score") - F.col("neg_score")).cast("double") / scale)
+        .alias("margin"),
     )
 
 

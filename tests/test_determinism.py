@@ -232,6 +232,11 @@ PARTITION_SENSITIVE = [
     "llm_embedding_norm_audit", # round(avg(nrm),4)
     "llm_text_stats",           # round(avg(token counts),4) — int-valued
     "llm_lang_filter_pipeline", # round(avg(n_chars),4) — int-valued
+    # round-15 numpy kernels that emit BATCH-LOCAL top-k merged by a
+    # final window: result must be invariant to how rows land in
+    # batches/partitions (the global-winner-is-a-local-winner argument)
+    "llm_ann_pq",
+    "llm_hard_negative_mining",
 ]
 
 
