@@ -11,15 +11,24 @@ code paths:
 
 - ``mode="session"`` (sandbox default): the in-process catalog — what
   every test and the driver runs. No external service needed.
+- ``mode="hive-embedded"`` (round-15): ``enableHiveSupport()`` with NO
+  Thrift URI — Spark's HiveExternalCatalog backed by an embedded Derby
+  metastore. This executes the REAL Hive metastore client code
+  (HiveMetaStoreClient.add_partition and friends, in-process) for the
+  whole registration flow; the only difference from a production HMS
+  is the missing network hop. tests/test_metastore_seam.py runs the
+  full create → add_partitions → prune → MSCK flow against it in a
+  subprocess (catalog choice is session-construction state, so it
+  needs its own SparkSession).
 - ``mode="hms"``: the deployment wiring — ``enableHiveSupport()`` plus
   ``hive.metastore.uris`` pointing at the Thrift endpoint. Catalog
   choice is session-construction-time state in Spark, so this mode is
   applied by ``configure_builder`` when the session is built; the
   registration DDL downstream is byte-identical.
 
-No HMS service ships in-sandbox, so the hms mode is covered by
-asserting the builder wiring (tests/test_metastore_seam.py) while the
-shared DDL path runs for real against the session catalog.
+No HMS Thrift SERVICE ships in-sandbox, so the hms mode itself is
+covered by asserting the builder wiring, while the identical client
+code path executes for real under hive-embedded.
 """
 
 from __future__ import annotations
@@ -44,6 +53,13 @@ def configure_builder(builder, cfg: MetastoreConfig):
         builder = builder.config("spark.sql.warehouse.dir", cfg.warehouse_dir)
     if cfg.mode == "session":
         return builder
+    if cfg.mode == "hive-embedded":
+        # real HiveExternalCatalog + in-process HiveMetaStoreClient over
+        # an embedded Derby metastore — no Thrift URI, no service
+        return (
+            builder.config("spark.sql.catalogImplementation", "hive")
+            .enableHiveSupport()
+        )
     if cfg.mode == "hms":
         if not cfg.hms_uri:
             raise ValueError("hms mode requires hms_uri (thrift://host:port)")
