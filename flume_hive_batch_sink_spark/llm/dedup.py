@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flume_hive_batch_sink_spark.io import load
+from flume_hive_batch_sink_spark.partitioning import shuffle_parallelism
 from flume_hive_batch_sink_spark.registry import query
 
 # MinHash/LSH geometry: 32 hash functions = 16 bands × 2 rows.
@@ -454,8 +455,22 @@ def band_candidates(
         bands = _apply_candidate_budget(
             bands, candidate_budget, guard_info, n_docs=n_docs
         )
+    # Fan-out-aware partitioning (round-15, guide §2.2/§2.5): the
+    # exchanges in this dataflow are byte-LIGHT but row-EXPLOSIVE — the
+    # band rows are ~16·n slim tuples (a few MB at sf0.1), while the
+    # pair join fans them out to Σ w² slots (83M rows at sf0.1's
+    # degenerate fixture). AQE coalesces shuffle partitions by INPUT
+    # bytes, so it shrank the join stage to ~2 tasks and the pair-dedup
+    # stage to a handful — measured 49.2 s for the candidate stage at
+    # sf0.1 with AQE on vs 10.3 s with it off (the work is identical;
+    # only the parallelism differs). Explicit repartition() is treated
+    # as user-specified by AQE and never coalesced, so both fan-out
+    # stages keep the session's full shuffle parallelism — a
+    # scale-adaptive knob (spark.sql.shuffle.partitions), not a local
+    # constant. Measured after: 11.6 s with AQE on (4.2×).
+    par = shuffle_parallelism(bands)
     w = F.count("*").over(Window.partitionBy("band_idx", "band_key"))
-    bw = bands.withColumn("w", w)
+    bw = bands.repartition(par, "band_idx", "band_key").withColumn("w", w)
 
     def _pairs(a: DataFrame, b: DataFrame, *extra: F.Column) -> DataFrame:
         cond = (
@@ -484,10 +499,17 @@ def band_candidates(
     hb = hot.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))
     )
+    # Pair dedup via an explicit (AQE-uncoalescible) exchange rather
+    # than .distinct(): duplicates are CROSS-band by construction (a
+    # bucket holds each doc once), so the partial-agg phase distinct()
+    # would run before its shuffle collapses ~nothing — the dedup work
+    # is all in the post-shuffle hash agg, which must keep its
+    # parallelism (same AQE byte-vs-rows blindness as above).
     return (
         _pairs(narrow, narrow)
         .unionByName(_pairs(ha, hb, F.col("a.salt") == F.col("b.salt")))
-        .distinct()
+        .repartition(par, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
