@@ -238,9 +238,17 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="compact_")
     frag_dir = _os.path.join(base, "fragmented")
     out_dir = _os.path.join(base, "compacted")
-    # simulate a fragmented ingest output: many writers, tiny roll size
+    # simulate a fragmented ingest output: many writers, tiny roll size.
+    # Round-15: the roll size is derived from the row count so the
+    # fragment count is BOUNDED (~256 files) instead of linear in the
+    # corpus (200 rows/file = 500 files at sf0.1, 5k at sf1 — the
+    # simulation itself became the small-files problem it demonstrates).
+    # ≤ sf0.01 scale the floor keeps the original 200-row rolls, so the
+    # driver-tier fixture and the oracle-checked output are unchanged.
+    n_rows_src = ev.count()
+    roll = max(200, math.ceil(n_rows_src / 256))
     ev.repartition(16).write.mode("overwrite").option(
-        "maxRecordsPerFile", 200
+        "maxRecordsPerFile", roll
     ).parquet(frag_dir)
 
     def _parquet_files(d: str) -> list[str]:
@@ -259,7 +267,6 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compacted = spark.read.parquet(out_dir)
     n_after = len(_parquet_files(out_dir))
-    n_rows_src = ev.count()
     return compacted.agg(F.count("*").alias("n_rows")).select(
         F.col("n_rows").cast("long"),
         F.lit(n_after < len(frag_files)).alias("files_reduced"),
