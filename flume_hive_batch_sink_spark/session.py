@@ -46,22 +46,19 @@ def get_spark(app_name: str = "flume-hive-batch-sink-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Round-15: AQE coalesces post-shuffle partitions by INPUT
-        # bytes, which under-parallelizes CPU-dense stages fed by
-        # byte-light exchanges (candidate-pair joins fan a few MB of
-        # (id, key) rows out to 10⁷-10⁸ pair slots; AQE was running
-        # them on 1-2 tasks). The default 1 MB floor is what
-        # parallelism-first coalescing bottoms out at; 64 KB lets it
-        # keep the configured parallelism for those slim exchanges.
-        # Worst case (floor too low) is simply "no coalescing", i.e.
-        # the configured spark.sql.shuffle.partitions — never more.
-        # Measured: llm_jaccard_dedup 8.4 s → 4.0 s at sf0.1 from this
-        # conf alone. Scale note: a 100 TB deployment that prefers
-        # fewer, larger post-shuffle partitions overrides this together
-        # with shuffle.partitions; the fan-out operators additionally
-        # pin their explosive stages with explicit repartition() so
-        # they stay wide even under a vanilla session.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Round-15 note: a global
+        # coalescePartitions.minPartitionSize=64k floor was tried for
+        # the byte-light/row-explosive fan-out joins (AQE coalesces by
+        # INPUT bytes and was under-parallelizing them) and MEASURED
+        # NET-NEGATIVE once the hot operators pinned their own fan-out
+        # exchanges with explicit repartition(): the floor stopped
+        # helping anywhere and hurt small-shuffle keys
+        # (llm_minhash_estimate 6.5→11.3 s, stream_stream_join
+        # 9.5→20.2 s, dq_skew_audit 1.4→2.1 s at sf0.1). Fan-out
+        # parallelism therefore lives IN the operators
+        # (partitioning.shuffle_parallelism + repartition), which also
+        # holds under the driver's vanilla session; AQE keeps its
+        # defaults here.
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
