@@ -170,11 +170,36 @@ def run_spark_bench(sf_dir: str) -> dict:
         l1, l5, _ = os.getloadavg()
         return l1 >= 2.0 or l5 >= 3.0
 
-    while _busy() and waited < wait_budget:
-        time.sleep(10.0)
-        waited += 10.0
+    # Round-15 measurement fix: the idle gate also samples HYPERVISOR
+    # STEAL, which loadavg cannot see (round-13 found a run where every
+    # headline measured 4-6x on 94-99% idle CPUs; round-15 reproduced
+    # it live: loadavg 0.2, steal 9.3%, q1 at 10x with iqr_rel ~0.5).
+    # Steal was previously only REPORTED (steal_pct); now the pre-run
+    # wait treats a >2% steal window like load and the contended flag
+    # covers it, so a noisy-neighbor window triggers the existing
+    # contended-retry protocol instead of publishing garbage. Each
+    # probe is a 3 s /proc/stat delta; hosts exposing no steal counter
+    # sample 0 and the gate reduces to the old loadavg-only behavior.
+    def _steal_window(window_s: float = 3.0) -> float:
+        s0, j0 = _steal_jiffies(), _total_jiffies()
+        time.sleep(window_s)
+        dj = _total_jiffies() - j0
+        return 100.0 * (_steal_jiffies() - s0) / max(1, dj)
+
+    # Two CONSECUTIVE clean 3 s windows required: steal arrives in
+    # bursts, and a single clean sample between bursts let a 2.4%-steal
+    # run through the gate on the first cut of this fix.
+    clean = 0
+    steal_now = _steal_window()
+    if steal_now < 2.0 and not _busy():
+        clean = 1
+    while clean < 2 and waited < wait_budget:
+        time.sleep(4.0)
+        waited += 7.0
+        steal_now = _steal_window()
+        clean = clean + 1 if (steal_now < 2.0 and not _busy()) else 0
     load_before = round(os.getloadavg()[0], 2)
-    contended = _busy()
+    contended = _busy() or steal_now >= 2.0
     steal0, jif0 = _steal_jiffies(), _total_jiffies()
     load_all_operators()
     spark = get_spark("bench")

@@ -697,6 +697,18 @@ try:
 except tc.ConcurrentCommitError:
     phase1 = "lost"
 
+# phase-2 rendezvous (round-15 flake fix): without a barrier the
+# worker that wins the Python-startup race can land all n_commits
+# (~1 ms each) before the other reaches the loop, so the test's
+# "processes never actually collided" guard trips on a jittery host.
+# Each worker announces readiness and waits for its peer, so both
+# enter the optimistic-retry loop at the same instant.
+with open(os.path.join(root, "_p2ready_" + wid), "w") as f:
+    f.write("r")
+other = "wb" if wid == "wa" else "wa"
+while not os.path.exists(os.path.join(root, "_p2ready_" + other)):
+    time.sleep(0.002)
+
 # phase 2: optimistic retry loop — n_commits each, hammering
 landed = []
 for i in range(n_commits):
