@@ -346,6 +346,19 @@ def run_spark_bench(sf_dir: str) -> dict:
             )
 
     total = round(sum(timings.values()), 4)
+    # hypervisor steal fraction across the whole run (see
+    # _steal_jiffies): > a few % means the VM itself was slowed by a
+    # noisy physical neighbor — treat gaps as noise. Round-15: the
+    # RUN-LEVEL steal also flips ``contended`` — the pre-run gate can't
+    # see a burst that starts mid-run (observed: gate clean, then
+    # 12.4% steal during the measured window, q1 at 6×) — so a
+    # mid-run burst now triggers the contended-retry protocol.
+    run_steal = round(
+        100.0
+        * (_steal_jiffies() - steal0)
+        / max(1, _total_jiffies() - jif0),
+        2,
+    )
     return {
         "metric": "headline_queries_total_warm",
         "value": total,
@@ -359,17 +372,9 @@ def run_spark_bench(sf_dir: str) -> dict:
             "before": load_before,
             "after": round(os.getloadavg()[0], 2),
         },
-        "contended": contended,
+        "contended": contended or run_steal >= 2.0,
         "idle_wait_s": round(waited, 1),
-        # hypervisor steal fraction across the whole run (see
-        # _steal_jiffies): > a few % means the VM itself was slowed by
-        # a noisy physical neighbor — treat gaps as noise
-        "steal_pct": round(
-            100.0
-            * (_steal_jiffies() - steal0)
-            / max(1, _total_jiffies() - jif0),
-            2,
-        ),
+        "steal_pct": run_steal,
     }
 
 

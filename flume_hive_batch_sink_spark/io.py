@@ -64,14 +64,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     if os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "1":
         key = (sf_dir, name)
-        if key not in _INPUT_CACHE:
-            df = _load_uncached(spark, sf_dir, name)
-            if name in _REPARTITION_ON_CACHE:
-                df = df.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-            df = df.cache()
-            df.count()  # materialize now so timed runs measure compute, not fill
-            _INPUT_CACHE[key] = df
-        return _INPUT_CACHE[key]
+        cached = _INPUT_CACHE.get(key)
+        # A cache hit is only valid for the SESSION that built it: the
+        # bench's contended cold-retry stops the SparkSession and
+        # rebuilds it (bench.py round-15), and a DataFrame bound to the
+        # stopped context dies inside any action with
+        # "'NoneType' object has no attribute 'setCallSite'" — which
+        # silently emptied two bench artifacts before this guard.
+        if cached is not None and cached[0] is spark:
+            return cached[1]
+        df = _load_uncached(spark, sf_dir, name)
+        if name in _REPARTITION_ON_CACHE:
+            df = df.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        df = df.cache()
+        df.count()  # materialize now so timed runs measure compute, not fill
+        _INPUT_CACHE[key] = (spark, df)
+        return df
     df = _load_uncached(spark, sf_dir, name)
     # Test-only hook (round-15, VERDICT r14 item 2): force every input
     # to N partitions so property tests can prove a key's output is

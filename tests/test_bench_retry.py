@@ -95,3 +95,43 @@ def test_retry_disabled_by_env(monkeypatch):
     out = _run_main(monkeypatch, [_res(0.5, True)])
     assert out["value"] == 0.5 and out["contended"] is True
     assert "contended_first_run" not in out
+
+
+def test_input_cache_survives_session_restart(tmp_path):
+    """Round-15: the contended cold-retry stops the SparkSession and
+    re-runs the protocol; io's input cache must not hand the retry
+    DataFrames bound to the DEAD context (observed as a bench process
+    dying with "'NoneType' object has no attribute 'setCallSite'" and
+    publishing an empty artifact). Subprocess because the shared
+    session fixture cannot be stopped mid-suite."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = tmp_path / "restart_probe.py"
+    script.write_text(
+        "import sys, os\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "os.environ['SPARK_GRAFT_CACHE_INPUTS'] = '1'\n"
+        "from flume_hive_batch_sink_spark import io\n"
+        "from flume_hive_batch_sink_spark.session import get_spark\n"
+        "s1 = get_spark('restart_a')\n"
+        "n1 = io.load(s1, '/root/testdata/sf0.01', 'lineitem').count()\n"
+        "s1.stop()\n"
+        "s2 = get_spark('restart_b')\n"
+        "n2 = io.load(s2, '/root/testdata/sf0.01', 'lineitem').count()\n"
+        "assert n1 == n2 > 0, (n1, n2)\n"
+        "print('RESTART_OK')\n"
+    )
+    env = dict(_os.environ)
+    env.pop("SPARK_GRAFT_CACHE_INPUTS", None)
+    out = subprocess.run(
+        [_sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RESTART_OK" in out.stdout
