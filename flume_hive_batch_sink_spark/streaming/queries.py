@@ -43,7 +43,10 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
-    return harness.run_to_memory(agg, _qname("agg_update"), "complete", spark)
+    return harness.run_to_memory(
+        agg, _qname("agg_update"), "complete", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
 
 
 @query(
@@ -61,7 +64,10 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = harness.run_to_memory(deduped, _qname("dedup_wm"), "append", spark)
+    out = harness.run_to_memory(
+        deduped, _qname("dedup_wm"), "append", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
     return out.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
@@ -98,7 +104,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
-    return harness.run_to_memory(agg, _qname("watermark"), "append", spark)
+    return harness.run_to_memory(
+        agg, _qname("watermark"), "append", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
 
 
 @query(
@@ -138,7 +147,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_id").alias("purchase_id"),
         F.col("s.event_id").alias("signup_id"),
     )
-    return harness.run_to_memory(joined, _qname("ss_join"), "append", spark)
+    return harness.run_to_memory(
+        joined, _qname("ss_join"), "append", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
 
 
 @query(
@@ -155,8 +167,13 @@ def stream_foreachbatch_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The re-read table's per-partition counts must equal the source."""
     out_dir = os.path.join(harness._tmpdir("stream_hive_"), "events_tbl")
     s = harness.events_stream(spark, sf_dir)
-    q = sink.start_hive_sink(s, out_dir)
-    q.awaitTermination()
+    # volume-scaled epoch-write parallelism: write_epoch's keyed
+    # repartition(dt, hr) sizes itself from spark.sql.shuffle.partitions
+    with harness._state_conf_scope(
+        spark, harness.events_stream_partitions(sf_dir)
+    ):
+        q = sink.start_hive_sink(s, out_dir)
+        q.awaitTermination()
     sink.finalize_partitions(spark, out_dir)
     table = sink.read_sink_table(spark, out_dir)
     return table.groupBy(
@@ -175,7 +192,8 @@ def stream_rate_source_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, batch-expressible regardless of micro-batch boundaries."""
     s = harness.replay_chunks(spark, sf_dir, n_chunks=3, late_chunk=False)
     out = harness.run_to_memory(
-        s.select("event_id", "event_type"), _qname("replay_smoke"), "append", spark
+        s.select("event_id", "event_type"), _qname("replay_smoke"), "append", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
     )
     return out
 
@@ -215,7 +233,10 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    emitted = harness.run_to_memory(out, _qname("custom_state"), "update", spark)
+    emitted = harness.run_to_memory(
+        out, _qname("custom_state"), "update", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
@@ -327,8 +348,12 @@ def stream_text_ingest_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", max(1, (n_files + 1) // 2))
         .csv(src)
     )
-    q = sink.start_hive_sink(s, out_dir)
-    q.awaitTermination()
+    # volume-scaled epoch-write parallelism (see stream_foreachbatch_hive)
+    with harness._state_conf_scope(
+        spark, harness.events_stream_partitions(sf_dir)
+    ):
+        q = sink.start_hive_sink(s, out_dir)
+        q.awaitTermination()
     sink.finalize_partitions(spark, out_dir)
     table = sink.read_sink_table(spark, out_dir)
     return table.groupBy(
@@ -373,4 +398,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
-    return harness.run_to_memory(agg, _qname("static_join"), "complete", spark)
+    return harness.run_to_memory(
+        agg, _qname("static_join"), "complete", spark,
+        state_partitions=harness.events_stream_partitions(sf_dir),
+    )
