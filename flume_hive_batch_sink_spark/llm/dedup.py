@@ -1326,9 +1326,17 @@ def _minhash_estimate_frame(
             F.transform(F.col("toks"), lambda t: F.md5(F.concat(prefix, t)))
         )
 
+    # Round-16 (guide §2.3, narrower types): the estimate only needs
+    # per-position EQUALITY of the md5-min winners, so each winner is
+    # collapsed to xxhash64 of its md5 hex digest — the argmin still
+    # runs on md5-string order (the oracle-pinned permutation), but the
+    # pair join ships 16 longs instead of 16 x 33-char strings and the
+    # zip_with compares 8-byte values. Same exactness class as the
+    # accepted token-intersect transform: equal iff the md5 winners are
+    # equal barring a ~1e-19/compare 64-bit collision.
     sig = tok_arr.select(
         "doc_id",
-        F.array(*[_est_sig(k) for k in range(_EST_K)]).alias("sig"),
+        F.array(*[F.xxhash64(_est_sig(k)) for k in range(_EST_K)]).alias("sig"),
     )
 
     hashed = tok_arr.select(

@@ -348,9 +348,10 @@ def encode_wav(vec_id: int, n_samples: int, rate: int = 16_000) -> bytes:
     return hdr + frames
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """PCM WAV decode through the stdlib ``wave`` reader: returns
-    (rate, n_samples, samples). Compressed audio still raises."""
+def _decode_wav_raw(payload: bytes) -> tuple[int, int, bytes]:
+    """PCM WAV parse through the stdlib ``wave`` reader: returns
+    (rate, n_samples, raw_le16_frames). Compressed audio still raises.
+    One parser for both sample representations below."""
     if payload[:4] != b"RIFF" or len(payload) < 44:
         raise NotImplementedError(
             "only PCM WAV is decodable without a native audio codec"
@@ -361,8 +362,28 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         rate = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
+    return rate, n, raw
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """PCM WAV decode through the stdlib ``wave`` reader: returns
+    (rate, n_samples, samples)."""
+    rate, n, raw = _decode_wav_raw(payload)
     samples = [s[0] for s in struct.iter_unpack("<h", raw)]
     return rate, n, samples
+
+
+def decode_wav_np(payload: bytes):
+    """``decode_wav`` with the samples as an int16 numpy view of the
+    same little-endian PCM frames (``np.frombuffer('<i2')`` is
+    byte-identical to ``struct.iter_unpack('<h')`` — pinned by
+    tests/test_llm.py). Round-16, guide §4.2: the hot kernels consume
+    this form so per-sample work is vectorized end to end; the RIFF
+    parsing is the same stdlib path as ``decode_wav``."""
+    import numpy as np
+
+    rate, n, raw = _decode_wav_raw(payload)
+    return rate, n, np.frombuffer(raw, dtype="<i2")
 
 
 def resample_audio(payload: bytes, factor: int = 2) -> tuple[int, list[int]]:
@@ -839,26 +860,31 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """64-bit average-hash over REAL decoded pixels: nearest-neighbor
     8x8 grid sample, integer luma (77R+150G+29B)>>8, bit = sample >=
     grid mean (integer-exact as 64*luma >= total). Split hi/lo 32-bit
-    halves so the value stays in signed BIGINT range."""
+    halves so the value stays in signed BIGINT range.
+
+    Round-16 (guide §4.2): the per-pixel loops run in numpy on the
+    decoded row matrix — integer ops only (// on non-negative ints ==
+    floor division in both worlds), so the hash is BIT-IDENTICAL to the
+    scalar loop it replaces (pinned by tests/test_llm.py::
+    test_vectorized_multimodal_kernels_match_reference); the decode
+    stays the pure-Python parser, which is the system under test."""
+    import numpy as np
+
+    grid = np.arange(8)
+    bit_lo = np.int64(1) << np.arange(32, dtype=np.int64)
     for pdf in batches:
         recs = []
         for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
             w, h, rows = decode_image(bytes(payload))
-            samples = []
-            for j in range(8):
-                sy = (j * h) // 8
-                for i in range(8):
-                    sx = (i * w) // 8
-                    r, g, b = rows[sy][sx]
-                    samples.append((77 * r + 150 * g + 29 * b) // 256)
-            total = sum(samples)
-            hi = lo = 0
-            for idx, l in enumerate(samples):
-                if 64 * l >= total:
-                    if idx < 32:
-                        lo |= 1 << idx
-                    else:
-                        hi |= 1 << (idx - 32)
+            px = np.asarray(rows, dtype=np.int64)  # (h, w, 3) RGB
+            sub = px[np.ix_((grid * h) // 8, (grid * w) // 8)]
+            luma = (
+                77 * sub[..., 0] + 150 * sub[..., 1] + 29 * sub[..., 2]
+            ) // 256
+            flat = luma.ravel()  # j-major: idx = 8*j + i, as the oracle
+            bits = (64 * flat >= flat.sum()).astype(np.int64)
+            lo = int((bits[:32] * bit_lo).sum())
+            hi = int((bits[32:] * bit_lo).sum())
             recs.append((int(vid), hi, lo))
         yield pd.DataFrame(recs, columns=["vec_id", "phash_hi", "phash_lo"])
 
@@ -934,29 +960,37 @@ def _vad_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     16-sample frames, a frame is active when sum(|sample|) clears the
     threshold, segments are maximal runs of active frames. All-integer
     arithmetic end to end."""
+    # Round-16 (guide §4.2): frame energies, the threshold gate, and the
+    # runs-of-active-frames statistics run in numpy over the decoded
+    # sample vector — all-integer, so outputs are BIT-IDENTICAL to the
+    # per-sample Python loop this replaces (pinned by tests/test_llm.py::
+    # test_vectorized_multimodal_kernels_match_reference). Run lengths
+    # come from the gaps-and-islands identity: at active frame i the
+    # current run is i − (last inactive index before i), with −1 as the
+    # sentinel "inactive index" before the clip starts.
+    import numpy as np
+
     for pdf in batches:
         recs = []
         for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
-            _, n, samples = decode_wav(bytes(payload))
+            _, n, samples = decode_wav_np(bytes(payload))
             n_frames = n // _VAD_FRAME
-            active = [
-                sum(
-                    abs(s)
-                    for s in samples[f * _VAD_FRAME:(f + 1) * _VAD_FRAME]
+            if n_frames:
+                a = np.abs(
+                    samples[: n_frames * _VAD_FRAME].astype(np.int64)
                 )
-                >= _VAD_THRESHOLD
-                for f in range(n_frames)
-            ]
-            n_active = sum(active)
-            n_segments = longest = run = 0
-            for a in active:
-                if a:
-                    run += 1
-                    if run == 1:
-                        n_segments += 1
-                    longest = max(longest, run)
-                else:
-                    run = 0
+                active = (
+                    a.reshape(n_frames, _VAD_FRAME).sum(axis=1)
+                    >= _VAD_THRESHOLD
+                )
+                n_active = int(active.sum())
+                starts = active & ~np.concatenate(([False], active[:-1]))
+                n_segments = int(starts.sum())
+                idx = np.arange(n_frames)
+                run = idx - np.maximum.accumulate(np.where(active, -1, idx))
+                longest = int((run * active).max()) if n_active else 0
+            else:
+                n_active = n_segments = longest = 0
             recs.append((int(vid), n_frames, n_active, n_segments, longest))
         yield pd.DataFrame(
             recs,
@@ -1027,28 +1061,58 @@ def _patchify_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode REAL image payloads and emit one row per full PATCHxPATCH
     tile: integer luma sum + min/max per patch (the patch-embedding
     precursor; all-integer so the oracle replays per-patch)."""
+    # Round-16 (guide §4.2): luma and the per-patch statistics run in
+    # numpy — the (h, w) luma matrix is cropped to the full-patch grid
+    # and reshaped to (rows, cols, PATCHxPATCH) tiles, so sum/min/max
+    # are one reduction each instead of a Python loop per pixel.
+    # All-integer (// on non-negative ints), so outputs are
+    # BIT-IDENTICAL to the scalar loop this replaces (pinned by
+    # tests/test_llm.py::test_vectorized_multimodal_kernels_match_
+    # reference); row order stays (pr, pc)-major per image.
+    import numpy as np
+
+    P = _PATCH
     for pdf in batches:
-        recs = []
+        frames = []
         for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
             w, h, rows = decode_image(bytes(payload))
-            for pr in range(h // _PATCH):
-                for pc in range(w // _PATCH):
-                    lumas = [
-                        (77 * r + 150 * g + 29 * b) // 256
-                        for y in range(pr * _PATCH, (pr + 1) * _PATCH)
-                        for (r, g, b) in (
-                            rows[y][pc * _PATCH:(pc + 1) * _PATCH]
-                        )
-                    ]
-                    recs.append(
-                        (
-                            int(vid), pr, pc,
-                            sum(lumas), min(lumas), max(lumas),
-                        )
+            nr, nc = h // P, w // P
+            if nr == 0 or nc == 0:
+                continue
+            px = np.asarray(rows, dtype=np.int64)  # (h, w, 3) RGB
+            luma = (
+                77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]
+            ) // 256
+            tiles = (
+                luma[: nr * P, : nc * P]
+                .reshape(nr, P, nc, P)
+                .transpose(0, 2, 1, 3)
+                .reshape(nr, nc, P * P)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.full(nr * nc, int(vid), dtype=np.int64),
+                        "patch_row": np.repeat(np.arange(nr), nc),
+                        "patch_col": np.tile(np.arange(nc), nr),
+                        "psum": tiles.sum(axis=2).ravel(),
+                        "pmin": tiles.min(axis=2).ravel(),
+                        "pmax": tiles.max(axis=2).ravel(),
+                    }
+                )
+            )
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in (
+                        "vec_id", "patch_row", "patch_col",
+                        "psum", "pmin", "pmax",
                     )
-        yield pd.DataFrame(
-            recs,
-            columns=["vec_id", "patch_row", "patch_col", "psum", "pmin", "pmax"],
+                }
+            )
         )
 
 

@@ -20,6 +20,8 @@ DEGREE instead of id to cap skew on power-law graphs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,13 +99,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _cs_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    n = deg.count()  # scalar node count — k-free driver value
     weighted = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
         .cache()
     )
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    # Node count + initial ranks from the CACHED weighted edges
+    # (round-16, guide §1.2): the old `deg.count()` executed the
+    # fact-join → distinct → degree subtree once for the scalar and the
+    # cache fill then executed it again — one full extra pass per call.
+    # The inner degree join keeps every src (each has a degree row), so
+    # distinct src of `weighted` is exactly deg's key set; this count
+    # also IS the cache-fill action.
+    nodes = weighted.select("src").distinct()
+    n = nodes.count()  # scalar node count — k-free driver value
+    ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     base = (1.0 - _DAMPING) / n
     for _ in range(_PR_ITERS):
         ranks = (
@@ -348,6 +358,34 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk = tempfile.mkdtemp(prefix="graph_chk_")
         atexit.register(shutil.rmtree, chk, ignore_errors=True)
         sc.setCheckpointDir(chk)
+    # Checkpoint cadence, VOLUME-GATED (round-16). At scale the
+    # dominant per-round cost is the reliable checkpoint WRITE of the
+    # (shrinking) edge list, so big inputs checkpoint every SECOND
+    # round: one un-checkpointed peel references its input three times
+    # (the edge set + the two semi-join keep subtrees), but within one
+    # job those collapse to reused exchanges, so a 2-round job does two
+    # peels of work while the checkpoint write+read round-trips halve;
+    # lineage stays bounded at two rounds, so the 2^R plan blowup the
+    # per-round checkpoint was added for (467 s at sf0.01, round-12)
+    # cannot restart. Measured at sf10 (118M directed edges, ~4.7 GB
+    # checkpoint volume): {363.5, 457.6} s -> {283.2, 347.8} s, both
+    # interleaved pairs, identical survivor counts, no OOM — SCALE.md
+    # round-16. At SMALL scale the trade inverts: checkpoints are
+    # cheap, and when the inputs are cached (the bench/sweep warm-input
+    # mode) the un-checkpointed double round re-executes the
+    # InMemoryRelation-backed subtrees instead of reusing them —
+    # measured 7.1 s vs 23.4 s at sf0.1 cache-mode (interleaved
+    # medians of 3), i.e. a 3.3x REGRESSION — so below the volume gate
+    # every round checkpoints, exactly the round-15 behavior. The gate
+    # reads the fact-input bytes (the checkpoint volume's upper bound
+    # driver), not the core count.
+    fact_bytes = 0
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            fact_bytes += os.path.getsize(p)
+    skip_alternate = fact_bytes >= (256 << 20)
+
     e = edges
     n_prev = n_final = -1
     for r in range(_KCORE_ROUNDS):
@@ -357,11 +395,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= _KCORE_K)
             .select("src")
         )
-        e = (
-            e.join(keep, "src", "semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
-            .checkpoint(eager=True)
+        e = e.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
         )
+        # the final round always checkpoints so the returned plan (and
+        # the convergence counts below) read a materialized edge set
+        if not skip_alternate or r % 2 == 1 or r == _KCORE_ROUNDS - 1:
+            e = e.checkpoint(eager=True)
         if r == _KCORE_ROUNDS - 2:
             n_prev = e.select("src").distinct().count()
         elif r == _KCORE_ROUNDS - 1:

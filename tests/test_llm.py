@@ -175,6 +175,125 @@ def test_png_bmp_roundtrip_all_filters(spark):
         mm.decode_png(bytes(tampered))
 
 
+def test_vectorized_multimodal_kernels_match_reference(spark):
+    """Round-16: the VAD/patchify/phash kernels were numpy-vectorized
+    (guide §4.2). They must stay BIT-IDENTICAL to the scalar per-pixel/
+    per-sample reference logic they replaced — reproduced here verbatim
+    — across payload shapes covering the edge cases (smallest image
+    3px tall → zero full patches; all-active and mixed audio runs)."""
+    import pandas as pd
+
+    from flume_hive_batch_sink_spark.llm import multimodal as mm
+
+    vids = list(range(0, 40))  # spans every (w, h) and n_samples residue
+    img_vids = [v for v in vids if v % 3 < 2]
+    wav_vids = [v for v in vids if v % 3 == 2]
+
+    def img_payload(v):
+        w, h = mm.media_dims(v)
+        return mm.encode_bmp(w, h) if v % 3 == 0 else mm.encode_png(w, h)
+
+    img_pdf = pd.DataFrame(
+        {"vec_id": img_vids, "payload": [img_payload(v) for v in img_vids]}
+    )
+    wav_pdf = pd.DataFrame(
+        {
+            "vec_id": wav_vids,
+            "payload": [mm.encode_wav(v, 64 + v % 64) for v in wav_vids],
+        }
+    )
+
+    # --- scalar references (the pre-vectorization implementations) ---
+    def ref_vad(pdf):
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            _, n, samples = mm.decode_wav(bytes(payload))
+            n_frames = n // mm._VAD_FRAME
+            active = [
+                sum(abs(s) for s in samples[f * mm._VAD_FRAME:(f + 1) * mm._VAD_FRAME])
+                >= mm._VAD_THRESHOLD
+                for f in range(n_frames)
+            ]
+            n_active = sum(active)
+            n_segments = longest = run = 0
+            for a in active:
+                if a:
+                    run += 1
+                    if run == 1:
+                        n_segments += 1
+                    longest = max(longest, run)
+                else:
+                    run = 0
+            recs.append((int(vid), n_frames, n_active, n_segments, longest))
+        return recs
+
+    def ref_patchify(pdf):
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            w, h, rows = mm.decode_image(bytes(payload))
+            for pr in range(h // mm._PATCH):
+                for pc in range(w // mm._PATCH):
+                    lumas = [
+                        (77 * r + 150 * g + 29 * b) // 256
+                        for y in range(pr * mm._PATCH, (pr + 1) * mm._PATCH)
+                        for (r, g, b) in rows[y][pc * mm._PATCH:(pc + 1) * mm._PATCH]
+                    ]
+                    recs.append(
+                        (int(vid), pr, pc, sum(lumas), min(lumas), max(lumas))
+                    )
+        return recs
+
+    def ref_phash(pdf):
+        recs = []
+        for vid, payload in zip(pdf["vec_id"], pdf["payload"]):
+            w, h, rows = mm.decode_image(bytes(payload))
+            samples = []
+            for j in range(8):
+                sy = (j * h) // 8
+                for i in range(8):
+                    sx = (i * w) // 8
+                    r, g, b = rows[sy][sx]
+                    samples.append((77 * r + 150 * g + 29 * b) // 256)
+            total = sum(samples)
+            hi = lo = 0
+            for idx, lum in enumerate(samples):
+                if 64 * lum >= total:
+                    if idx < 32:
+                        lo |= 1 << idx
+                    else:
+                        hi |= 1 << (idx - 32)
+            recs.append((int(vid), hi, lo))
+        return recs
+
+    # the numpy sample view is byte-identical to the scalar unpack
+    for v in wav_vids:
+        payload = mm.encode_wav(v, 64 + v % 64)
+        r1, n1, s1 = mm.decode_wav(payload)
+        r2, n2, s2 = mm.decode_wav_np(payload)
+        assert (r1, n1) == (r2, n2) and s1 == list(s2)
+
+    got_vad = [
+        tuple(int(x) for x in row)
+        for out in mm._vad_kernel(iter([wav_pdf]))
+        for row in out.itertuples(index=False)
+    ]
+    assert got_vad == ref_vad(wav_pdf)
+
+    got_patch = [
+        tuple(int(x) for x in row)
+        for out in mm._patchify_kernel(iter([img_pdf]))
+        for row in out.itertuples(index=False)
+    ]
+    assert got_patch == ref_patchify(img_pdf)
+
+    got_phash = [
+        tuple(int(x) for x in row)
+        for out in mm._phash_kernel(iter([img_pdf]))
+        for row in out.itertuples(index=False)
+    ]
+    assert got_phash == ref_phash(img_pdf)
+
+
 def test_multimodal_fake_features_deterministic(spark):
     from flume_hive_batch_sink_spark.llm.multimodal import fake_feature_extract
 

@@ -202,6 +202,60 @@ def test_dup_clusters_handoff_matches_propagation(spark, monkeypatch):
     assert got == want
 
 
+def test_dup_clusters_delta_matches_full_propagation(spark):
+    """Round-16: ``llm_dup_clusters`` propagates only labels that
+    CHANGED in the previous round (delta iteration). Two pins on the
+    real fixture edge set: (a) the operator's final labels equal a
+    plain full-propagation reference, and (b) simulating both
+    recurrences round by round yields IDENTICAL label maps after every
+    round — the delta rewrite may not change convergence round counts
+    (which decide the star handoff), only skip provably-redundant
+    re-sends."""
+    from flume_hive_batch_sink_spark.llm import clusters
+    from flume_hive_batch_sink_spark.llm.dedup import llm_near_dedup_minhash
+
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = llm_near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+        nodes |= {a, b}
+    from flume_hive_batch_sink_spark.io import load
+
+    nodes |= {
+        r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+
+    full = {u: u for u in nodes}
+    delta = {u: u for u in nodes}
+    changed = set(nodes)
+    for _round in range(clusters._PROPAGATION_ROUNDS):
+        nxt_full = {
+            u: min([full[u]] + [full[v] for v in adj.get(u, [])])
+            for u in nodes
+        }
+        nxt_delta = dict(delta)
+        for v in changed:
+            for u in adj.get(v, []):
+                if delta[v] < nxt_delta[u]:
+                    nxt_delta[u] = delta[v]
+        changed = {u for u in nodes if nxt_delta[u] < delta[u]}
+        full, delta = nxt_full, nxt_delta
+        assert full == delta, f"divergence at round {_round + 1}"
+        if not changed:
+            break
+    # and the operator itself (which now runs the delta recurrence)
+    # produces exactly the converged reference labels
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in clusters.llm_dup_clusters(spark, sf_dir).collect()
+    }
+    assert got == full
+
+
 def test_dup_clusters_handoff_matches_oracle_sf001(spark, monkeypatch):
     """The judge-specified handoff exercise (VERDICT r4 item 1): run the
     FULL ``llm_dup_clusters`` operator at sf0.01 with the propagation
