@@ -31,7 +31,12 @@ from flume_hive_batch_sink_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
+    # a .json first arg is an OUTPUT path, never the data dir (ADVICE r15)
+    sf_dir = (
+        args[0]
+        if args and "/" in args[0] and not args[0].endswith(".json")
+        else "/root/testdata/sf0.1"
+    )
     out_path = None
     keys = []
     for a in args:

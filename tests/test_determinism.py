@@ -18,6 +18,10 @@ from flume_hive_batch_sink_spark.registry import load_all_operators
 
 load_all_operators()
 
+# Slow tier (round-16): double-execution determinism sweep over ~150 keys (~10 min). Deselected by the default run
+# (pytest.ini addopts); the committed round gate runs -m "".
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 
 # the keys where nondeterminism could plausibly hide: hash families,

@@ -15,6 +15,10 @@ from flume_hive_batch_sink_spark.registry import load_all_operators
 
 load_all_operators()
 
+# Slow tier (round-16): full 327-key oracle-parity sweep (~9 min): the driver runs its own rotating oracle gate each round and scripts/check_parity.py replicates this sweep on demand. Deselected by the default run
+# (pytest.ini addopts); the committed round gate runs -m "".
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 
 

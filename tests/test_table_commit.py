@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from flume_hive_batch_sink_spark.io import load
 from flume_hive_batch_sink_spark.operators import table_commit as tc
 
+# Slow tier (round-16): multi-process commit-crash drills with subprocess workers. Deselected by the default run
+# (pytest.ini addopts); the committed round gate runs -m "".
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -706,7 +710,12 @@ except tc.ConcurrentCommitError:
 with open(os.path.join(root, "_p2ready_" + wid), "w") as f:
     f.write("r")
 other = "wb" if wid == "wa" else "wa"
+# bounded wait (ADVICE r15): a crashed peer must FAIL the test, not
+# hang the survivor (and the parent's poll loop) forever
+deadline = time.time() + 30.0
 while not os.path.exists(os.path.join(root, "_p2ready_" + other)):
+    if time.time() > deadline:
+        raise RuntimeError(f"{wid}: peer {other} never reached phase 2")
     time.sleep(0.002)
 
 # phase 2: optimistic retry loop — n_commits each, hammering
